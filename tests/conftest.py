@@ -1,0 +1,53 @@
+import os
+import sys
+
+# Multi-chip sharding tests run on a virtual 8-device CPU mesh.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+REF_DATA = "/root/reference/tests_data"
+
+
+def _ref_data_available():
+    return os.path.exists(os.path.join(REF_DATA, "ref.fasta"))
+
+
+requires_ref_data = pytest.mark.skipif(
+    not _ref_data_available(), reason="reference tests_data not mounted"
+)
+
+
+@pytest.fixture(scope="session")
+def bwt_runs():
+    from movi_tpu.build.prepare_ref import prepare_ref
+    from movi_tpu.build.suffix import build_bwt_runs
+
+    ref = prepare_ref(os.path.join(REF_DATA, "ref.fasta"))
+    return build_bwt_runs(ref.text)
+
+
+@pytest.fixture(scope="session")
+def index_regular_thr(bwt_runs):
+    from movi_tpu.index.structure import build_move_index
+
+    return build_move_index(bwt_runs, "regular-thresholds")
+
+
+@pytest.fixture(scope="session")
+def sample_reads():
+    from movi_tpu.io.fastx import iter_fastx
+
+    return list(iter_fastx(os.path.join(REF_DATA, "sample.fastq")))
+
+
+@pytest.fixture(scope="session")
+def golden_pmls_sorted():
+    with open(os.path.join(REF_DATA, "sample.fastq.pmls.sorted")) as f:
+        return f.read()

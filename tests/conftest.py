@@ -1,13 +1,19 @@
 import os
 import sys
 
-# Multi-chip sharding tests run on a virtual 8-device CPU mesh.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Multi-chip sharding tests run on a virtual 8-device CPU mesh.  NOTE: this
+# environment pins JAX_PLATFORMS=axon via sitecustomize, so the env var must
+# be overridden *and* jax.config updated after import (see below).
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

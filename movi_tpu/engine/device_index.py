@@ -53,15 +53,17 @@ class DeviceIndex:
     last_runs: jax.Array
     last_offsets: jax.Array
     alphamap_query: jax.Array  # int32 [256]: byte -> alphabet index, -1 illegal
-    # search-variant reposition tables ('$' row matches nothing) for
-    # backward-search interval updates
-    rep_up_s: jax.Array
-    rep_down_s: jax.Array
+    # search-variant tables for backward-search interval updates
+    # (get_char semantics: the '$' row matches nothing):
+    c_search: jax.Array   # int32 [r]: alphabet index, -1 for the '$' row
+    ch_up_s: jax.Array    # int32 [sigma, r]: last i' <= i with char a (r none)
+    ch_down_s: jax.Array  # int32 [sigma, r]: first i' >= i with char a (r none)
 
     def hbm_bytes(self) -> int:
         total = 0
         for f in (self.n, self.lf_abs, self.all_p, self.c, self.thr_full,
-                  self.rep_up, self.rep_down, self.rep_up_s, self.rep_down_s):
+                  self.rep_up, self.rep_down, self.c_search, self.ch_up_s,
+                  self.ch_down_s):
             if f is not None:
                 total += f.size * f.dtype.itemsize
         return total
@@ -71,9 +73,49 @@ jax.tree_util.register_dataclass(
     DeviceIndex,
     data_fields=["n", "lf_abs", "all_p", "c", "thr_full", "rep_up",
                  "rep_down", "first_runs", "first_offsets", "last_runs",
-                 "last_offsets", "alphamap_query", "rep_up_s", "rep_down_s"],
+                 "last_offsets", "alphamap_query", "c_search", "ch_up_s",
+                 "ch_down_s"],
     meta_fields=["mode", "r", "length", "end_bwt_idx", "sigma"],
 )
+
+
+def build_thr_full(ix: MoveIndex) -> np.ndarray:
+    """Dense per-(row, read-char) threshold table: bakes in ALPHAMAP_3 slot
+    selection, the '$' row (end_bwt_idx_thresholds) and separator rows
+    (move_structure_query.cpp:513-566)."""
+    r, sigma = ix.r, ix.sigma
+    thr_full = np.zeros((r, sigma), dtype=np.int32)
+    c_eff = ix.c_arr.astype(np.int64)
+    sep_index = int(ix.alphamap[SEPARATOR]) if ix.separators else -1
+    for a in range(sigma):
+        if ix.separators:
+            if a == sep_index:
+                continue  # never queried (check_alphabet rejects '%')
+            slot_of_row = ALPHAMAP_3[np.maximum(c_eff - 1, 0), a - 1]
+        else:
+            slot_of_row = ALPHAMAP_3[c_eff, a]
+        vals = np.where(slot_of_row < 3,
+                        np.take_along_axis(
+                            ix.thr, np.minimum(slot_of_row, 2)[:, None],
+                            axis=1).ravel(),
+                        0)
+        thr_full[:, a] = vals
+    # '$' row
+    e = ix.end_bwt_idx
+    for a in range(sigma):
+        ai = a - 1 if ix.separators else a
+        if ix.separators and a == sep_index:
+            continue
+        if 0 <= ai < len(ix.end_bwt_idx_thresholds):
+            thr_full[e, a] = ix.end_bwt_idx_thresholds[ai]
+    # separator rows
+    if ix.separators and ix.sep_row_map:
+        for row, k in ix.sep_row_map.items():
+            for a in range(sigma):
+                if a == sep_index:
+                    continue
+                thr_full[row, a] = ix.sep_thresholds[k][a - 1]
+    return thr_full
 
 
 def build_device_index(ix: MoveIndex, device=None) -> DeviceIndex:
@@ -85,56 +127,22 @@ def build_device_index(ix: MoveIndex, device=None) -> DeviceIndex:
 
     lf_abs = ix.all_p[ix.id_arr] + ix.offset_arr.astype(np.int64)
 
-    # Dense per-(row, read-char) threshold table: bakes in ALPHAMAP_3 slot
-    # selection, the '$' row (end_bwt_idx_thresholds) and separator rows
-    # (move_structure_query.cpp:513-566).
-    thr_full = None
-    if ix.thr is not None:
-        thr_full = np.zeros((r, sigma), dtype=np.int32)
-        c_eff = ix.c_arr.astype(np.int64)
-        sep_index = int(ix.alphamap[SEPARATOR]) if ix.separators else -1
-        for a in range(sigma):
-            if ix.separators:
-                if a == sep_index:
-                    continue  # never queried (check_alphabet rejects '%')
-                slot_of_row = ALPHAMAP_3[np.maximum(c_eff - 1, 0), a - 1]
-            else:
-                slot_of_row = ALPHAMAP_3[c_eff, a]
-            vals = np.where(slot_of_row < 3,
-                            np.take_along_axis(
-                                ix.thr, np.minimum(slot_of_row, 2)[:, None],
-                                axis=1).ravel(),
-                            0)
-            thr_full[:, a] = vals
-        # '$' row
-        e = ix.end_bwt_idx
-        for a in range(sigma):
-            ai = a - 1 if ix.separators else a
-            if ix.separators and a == sep_index:
-                continue
-            if 0 <= ai < len(ix.end_bwt_idx_thresholds):
-                thr_full[e, a] = ix.end_bwt_idx_thresholds[ai]
-        # separator rows
-        if ix.separators and ix.sep_row_map:
-            for row, k in ix.sep_row_map.items():
-                for a in range(sigma):
-                    if a == sep_index:
-                        continue
-                    thr_full[row, a] = ix.sep_thresholds[k][a - 1]
+    thr_full = build_thr_full(ix) if ix.thr is not None else None
 
     # reposition tables indexed by the *current* run id, with the
     # reference's edge semantics baked in (reposition_up/down start at
     # idx -1/+1; idx==0 / idx==r-1 yield "none"):
     nu, nd = ix.next_tables()         # '$' row matches alphabet[0]
     nus, nds = ix.next_tables_search()  # '$' row matches nothing
-    def from_tables(nu_, nd_):
-        rep_up = np.full((sigma, r), r, dtype=np.int64)
-        rep_down = np.full((sigma, r), r, dtype=np.int64)
-        rep_up[:, 1:] = nu_[:, :-1]
-        rep_down[:, :-1] = nd_[:, 1:]
-        return rep_up.astype(np.int32), rep_down.astype(np.int32)
-    rep_up, rep_down = from_tables(nu, nd)
-    rep_up_s, rep_down_s = from_tables(nus, nds)
+    rep_up = np.full((sigma, r), r, dtype=np.int64)
+    rep_down = np.full((sigma, r), r, dtype=np.int64)
+    rep_up[:, 1:] = nu[:, :-1]
+    rep_down[:, :-1] = nd[:, 1:]
+    rep_up = rep_up.astype(np.int32)
+    rep_down = rep_down.astype(np.int32)
+
+    c_search = ix.c_arr.astype(np.int32)
+    c_search[ix.end_bwt_idx] = -1
 
     alphamap_query = np.full(256, -1, dtype=np.int32)
     for a, ch in enumerate(ix.alphabet):
@@ -152,7 +160,8 @@ def build_device_index(ix: MoveIndex, device=None) -> DeviceIndex:
         c=put(ix.c_arr),
         thr_full=put(thr_full) if thr_full is not None else None,
         rep_up=put(rep_up), rep_down=put(rep_down),
-        rep_up_s=put(rep_up_s), rep_down_s=put(rep_down_s),
+        c_search=put(c_search),
+        ch_up_s=put(nus.astype(np.int32)), ch_down_s=put(nds.astype(np.int32)),
         first_runs=put(ix.first_runs.astype(np.int32)),
         first_offsets=put(ix.first_offsets.astype(np.int32)),
         last_runs=put(ix.last_runs.astype(np.int32)),

@@ -177,9 +177,57 @@ class MoveIndex:
         )
 
 
+def _nt_split(bwt: np.ndarray, bounds: np.ndarray, end_char_total: int,
+              counts: np.ndarray, alphamap: np.ndarray, max_span: int,
+              max_rounds: int = 64) -> np.ndarray:
+    """Nishimoto-Tabei-style balancing: insert run boundaries until every
+    run's LF image spans at most `max_span` runs (=> fast_forward is
+    bounded by max_span - 1 steps).
+
+    Replaces the external r-permute tool (movi_launcher.cpp:221-227) and is
+    the key enabler of the TPU fused engine: a bounded fast-forward becomes
+    a fixed-size cum-length window resolved without data-dependent loops.
+    """
+    n = len(bwt)
+    csum_counts = np.concatenate([[0], np.cumsum(counts)])
+    for _ in range(max_rounds):
+        all_p = np.concatenate([bounds, [n]])
+        lens = np.diff(all_p)
+        heads = bwt[bounds]
+        r = len(bounds)
+        # lf of each run head (LF_heads semantics)
+        lf = np.zeros(r, dtype=np.int64)
+        for j in range(len(counts)):
+            isj = alphamap[heads] == j
+            cum = np.cumsum(np.where(isj, lens, 0))
+            prior = np.concatenate([[0], cum[:-1]])
+            lf[isj] = 1 + csum_counts[j] + prior[isj]
+        lf[heads == END_CHARACTER] = 0
+        s = lf
+        e = lf + lens - 1
+        id_start = np.searchsorted(all_p[:-1], s, side="right") - 1
+        id_end = np.searchsorted(all_p[:-1], e, side="right") - 1
+        span = id_end - id_start + 1
+        offenders = np.flatnonzero(span > max_span)
+        if len(offenders) == 0:
+            return bounds
+        new_cuts = []
+        for i in offenders:
+            # cut at preimages of every max_span-th internal boundary
+            js = np.arange(id_start[i] + max_span, id_end[i] + 1, max_span)
+            new_cuts.append(all_p[i] + (all_p[js] - s[i]))
+        bounds = np.unique(np.concatenate([bounds] + new_cuts))
+    raise RuntimeError("NT splitting did not converge")
+
+
 def build_move_index(runs: BWTRuns, mode: str = MODE_REGULAR_THR,
-                     separators: bool = False) -> MoveIndex:
-    """Build the move index from original BWT runs + thresholds."""
+                     separators: bool = False,
+                     bound_ff: int | None = None) -> MoveIndex:
+    """Build the move index from original BWT runs + thresholds.
+
+    bound_ff: if set, apply NT-style splitting so fast_forward never
+    exceeds bound_ff steps (required by the fused TPU engine).
+    """
     _, max_run_length, use_thresholds, split_thresholds = MODE_INFO[mode]
     bwt = runs.bwt
     n = len(bwt)
@@ -210,6 +258,9 @@ def build_move_index(runs: BWTRuns, mode: str = MODE_REGULAR_THR,
             k = int((L - 1) // max_run_length)
             extra.append(s + max_run_length * (np.arange(k, dtype=np.int64) + 1))
         bounds = np.unique(np.concatenate([bounds] + extra))
+    if bound_ff is not None:
+        bounds = _nt_split(bwt, bounds, int(present[END_CHARACTER]),
+                           counts, alphamap, max_span=bound_ff + 1)
     all_p = np.concatenate([bounds, [n]])
     n_arr = np.diff(all_p).astype(np.int32)
     r = len(bounds)

@@ -1,0 +1,302 @@
+"""movi_tpu command-line driver.
+
+Mirrors the reference CLI surface (src/movi.cpp subcommand dispatch +
+src/movi_parser.cpp flags + src/movi_launcher.cpp build orchestration):
+
+  build    FASTA -> index directory (prepare-ref + SA/BWT/thresholds +
+           move table + null statistics), replacing the reference's
+           external pfp-thresholds/r-permute pipeline in-process
+  query    --pml/--zml/--count [--classify/--filter/--invert] [--stdout]
+  view     pretty-print a .bpf file
+  inspect  index statistics (print_stats, move_structure.cpp:471-501)
+  null     (re)generate null statistics
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def _log(msg: str):
+    print(f"[movi-tpu] {msg}", file=sys.stderr)
+
+
+def cmd_build(args):
+    from .build.prepare_ref import prepare_ref
+    from .build.suffix import build_bwt_runs
+    from .classify import EmpNullDatabase, build_nulldb_pml, generate_null_reads
+    from .cpu_ref.scalar import ScalarEngine
+    from .index.structure import build_move_index
+    from .build.prepare_ref import iter_fasta
+
+    os.makedirs(args.index, exist_ok=True)
+    t0 = time.time()
+    fasta_paths = args.fasta
+    ref = prepare_ref(fasta_paths, rc=not args.fw, separators=args.separators,
+                      is_list=args.list,
+                      out_fasta=os.path.join(args.index, "ref.fa")
+                      if args.keep_ref else None)
+    _log(f"prepared reference: {len(ref.text)} bases ({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    runs = build_bwt_runs(ref.text)
+    _log(f"BWT: n={len(runs.bwt)} original_r={len(runs.starts)} "
+         f"({time.time()-t0:.1f}s)")
+
+    t0 = time.time()
+    ix = build_move_index(runs, args.type, separators=args.separators,
+                          bound_ff=args.bound_ff)
+    _log(f"move index: r={ix.r} mode={args.type} ({time.time()-t0:.1f}s)")
+
+    eng = ScalarEngine(ix)
+    if args.verify:
+        assert eng.verify_lf_loop(), "LF loop verification failed"
+        _log("LF loop verified")
+
+    ix.save(os.path.join(args.index, "index.npz"))
+
+    if not args.skip_null:
+        records = []
+        for p in (fasta_paths if isinstance(fasta_paths, list) else [fasta_paths]):
+            records.extend(iter_fasta(p))
+        random_rep = ix.thr is None
+        db = build_nulldb_pml(
+            ix, lambda s: eng.query_pml(s, random_repositioning=random_rep),
+            records, seed=args.seed)
+        db.save(os.path.join(args.index, "movi.pml.nulldb"))
+        _log(f"null statistics: percentile={db.percentile_value}")
+    _log("build done")
+
+
+def _load_index(index_dir):
+    from .index.structure import MoveIndex
+
+    return MoveIndex.load(os.path.join(index_dir, "index.npz"))
+
+
+def _query_type(args):
+    if args.pml:
+        return "pml"
+    if args.zml:
+        return "zml"
+    if args.count:
+        return "count"
+    raise SystemExit("specify one of --pml/--zml/--count")
+
+
+def cmd_query(args):
+    from .io.fastx import iter_fastx, make_batches
+    from .io.outputs import BPFWriter, count_line, pml_stdout_lines
+
+    ix = _load_index(args.index)
+    qt = _query_type(args)
+    reads = list(iter_fastx(args.read))
+    if args.reverse:
+        reads = [(n, s[::-1]) for n, s in reads]
+
+    use_jax = not args.no_jax
+    results = []
+    if use_jax:
+        import jax
+
+        if args.platform:
+            jax.config.update("jax_platforms", args.platform)
+        from .engine.device_index import build_device_index
+        from .engine.pml import PMLEngine
+        from .engine.search import CountEngine, ZMLEngine
+
+        di = build_device_index(ix)
+        if qt == "pml":
+            eng = PMLEngine(di, random_repositioning=ix.thr is None)
+        elif qt == "zml":
+            eng = ZMLEngine(di)
+        else:
+            eng = CountEngine(di)
+        for batch in make_batches(reads, lanes=args.lanes):
+            out = eng.query_batch(batch)
+            results.extend(zip(batch.names, out))
+    else:
+        from .cpu_ref.scalar import ScalarEngine
+
+        eng = ScalarEngine(ix)
+        for name, seq in reads:
+            if qt == "pml":
+                results.append(
+                    (name, eng.query_pml(seq,
+                                         random_repositioning=ix.thr is None)))
+            elif qt == "zml":
+                results.append((name, eng.query_zml(seq)))
+            else:
+                results.append((name, eng.query_count(seq)))
+
+    # classification
+    classifier = None
+    report_lines = []
+    found_map = {}
+    if args.classify:
+        from .classify import (Classifier, EmpNullDatabase,
+                               format_report_header, format_report_line)
+
+        db = EmpNullDatabase.load(os.path.join(args.index,
+                                               f"movi.{qt}.nulldb"))
+        classifier = Classifier(db, bin_width=args.bin_width)
+        report_lines.append(format_report_header(classifier.max_value_thr))
+
+    index_type = ix.mode
+    out_prefix = (args.out_file if args.out_file
+                  else f"{args.read}.{index_type}") + f".{qt}"
+
+    seq_by_name = dict(reads)
+    lines_out = []
+    for name, res in results:
+        if qt in ("pml", "zml"):
+            if classifier:
+                found, avg, above, below = classifier.classify(res)
+                found_map[name] = found
+                from .classify import format_report_line
+                report_lines.append(
+                    format_report_line(name, found, avg, above, below))
+            if args.stdout:
+                lines_out.extend(pml_stdout_lines(name, res))
+        else:
+            pos, cnt = res
+            lines_out.append(count_line(name, len(seq_by_name[name]), pos, cnt))
+
+    if args.filter and classifier:
+        for name, seq in reads:
+            f = found_map.get(name, False)
+            if (f and not args.invert) or (not f and args.invert):
+                print(f">{name}")
+                print(seq.decode())
+    elif args.stdout:
+        for ln in lines_out:
+            print(ln)
+    else:
+        if qt in ("pml", "zml"):
+            with BPFWriter(out_prefix + ".bpf") as w:
+                for name, res in results:
+                    w.write_read(name, res)
+            _log(f"wrote {out_prefix}.bpf")
+        else:
+            with open(out_prefix + ".matches", "w") as f:
+                for ln in lines_out:
+                    f.write(ln + "\n")
+            _log(f"wrote {out_prefix}.matches")
+
+    if classifier and not args.filter:
+        if args.stdout:
+            for ln in report_lines:
+                print(ln)
+        else:
+            rpath = f"{args.read}.{index_type}.{qt}.report"
+            with open(rpath, "w") as f:
+                for ln in report_lines:
+                    f.write(ln + "\n")
+            _log(f"wrote {rpath}")
+
+
+def cmd_view(args):
+    from .io.outputs import read_bpf
+
+    for name, vals in read_bpf(args.mls_file):
+        print(f">{name}")
+        print(" ".join(str(v) for v in reversed(vals)) + " ")
+
+
+def cmd_inspect(args):
+    ix = _load_index(args.index)
+    print(f"index mode: {ix.mode}")
+    print(f"n: {ix.length}")
+    print(f"r: {ix.r}")
+    print(f"original_r: {ix.original_r}")
+    print(f"n/r: {ix.length / ix.r:.4f}")
+    print(f"end_bwt_idx ($): {ix.end_bwt_idx}")
+    print(f"alphabet: {''.join(chr(c) for c in ix.alphabet)}")
+    for i in range(ix.sigma + 1):
+        c = "$" if i == 0 else chr(ix.alphabet[i - 1])
+        print(f"{c}\t{i}\t{ix.first_runs[i]}:{ix.first_offsets[i]}\t"
+              f"{ix.last_runs[i]}:{ix.last_offsets[i]}")
+
+
+def cmd_null(args):
+    from .build.prepare_ref import iter_fasta
+    from .classify import build_nulldb_pml
+    from .cpu_ref.scalar import ScalarEngine
+
+    ix = _load_index(args.index)
+    eng = ScalarEngine(ix)
+    records = list(iter_fasta(args.fasta))
+    db = build_nulldb_pml(
+        ix, lambda s: eng.query_pml(s, random_repositioning=ix.thr is None),
+        records, seed=args.seed)
+    db.save(os.path.join(args.index, "movi.pml.nulldb"))
+    _log(f"null statistics: percentile={db.percentile_value}")
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="movi-tpu",
+                                description="TPU-native Movi pangenome index")
+    sub = p.add_subparsers(dest="command", required=True)
+
+    b = sub.add_parser("build")
+    b.add_argument("--fasta", "-f", nargs="+", required=True)
+    b.add_argument("--index", "-i", required=True)
+    b.add_argument("--type", default="regular-thresholds")
+    b.add_argument("--fw", action="store_true",
+                   help="do not add reverse complements")
+    b.add_argument("--separators", action="store_true")
+    b.add_argument("--list", action="store_true")
+    b.add_argument("--verify", action="store_true")
+    b.add_argument("--keep-ref", action="store_true")
+    b.add_argument("--skip-null", action="store_true")
+    b.add_argument("--bound-ff", type=int, default=None)
+    b.add_argument("--seed", type=int, default=0)
+    b.set_defaults(func=cmd_build)
+
+    q = sub.add_parser("query")
+    q.add_argument("--index", "-i", required=True)
+    q.add_argument("--read", "-r", required=True)
+    q.add_argument("--pml", action="store_true")
+    q.add_argument("--zml", action="store_true")
+    q.add_argument("--count", action="store_true")
+    q.add_argument("--classify", action="store_true")
+    q.add_argument("--filter", action="store_true")
+    q.add_argument("--invert", action="store_true")
+    q.add_argument("--stdout", action="store_true")
+    q.add_argument("--reverse", action="store_true")
+    q.add_argument("--no-jax", action="store_true",
+                   help="use the scalar CPU reference engine")
+    q.add_argument("--platform", default=None,
+                   help="jax platform override (cpu/tpu)")
+    q.add_argument("--lanes", type=int, default=8192)
+    q.add_argument("--bin-width", type=int, default=150)
+    q.add_argument("--out-file", default="")
+    q.set_defaults(func=cmd_query)
+
+    v = sub.add_parser("view")
+    v.add_argument("--mls-file", required=True)
+    v.set_defaults(func=cmd_view)
+
+    ins = sub.add_parser("inspect")
+    ins.add_argument("--index", "-i", required=True)
+    ins.set_defaults(func=cmd_inspect)
+
+    nl = sub.add_parser("null")
+    nl.add_argument("--index", "-i", required=True)
+    nl.add_argument("--fasta", "-f", required=True)
+    nl.add_argument("--seed", type=int, default=0)
+    nl.set_defaults(func=cmd_null)
+
+    args = p.parse_args(argv)
+    if args.filter if hasattr(args, "filter") else False:
+        args.classify = True
+    args.func(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -144,6 +144,17 @@ class BWTRuns:
     lens: np.ndarray         # int64[original_r]
     starts: np.ndarray       # int64[original_r] run start positions
     thresholds: np.ndarray   # int64[original_r] absolute threshold positions
+    sa: Optional[np.ndarray] = None  # int64[n] full suffix array (build-time)
+
+    def sampled_sa(self, rate: int = 100) -> np.ndarray:
+        """Sampled SA entries: sampled[p // rate] = SA[p] for p % rate == 0.
+
+        Replaces the reference's O(n) LF-walk construction
+        (move_structure_build.cpp:1173-1212) with a direct slice of the
+        suffix array the builder already has.
+        """
+        assert self.sa is not None
+        return self.sa[::rate].copy()
 
 
 def find_runs(bwt: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -205,4 +216,4 @@ def build_bwt_runs(text_no_sentinel: np.ndarray) -> BWTRuns:
     heads, lens, starts = find_runs(bwt)
     thr = compute_thresholds(bwt, lcp, heads, starts)
     return BWTRuns(bwt=bwt, heads=heads, lens=lens, starts=starts,
-                   thresholds=thr)
+                   thresholds=thr, sa=sa)

@@ -58,7 +58,21 @@ def cmd_build(args):
         assert eng.verify_lf_loop(), "LF loop verification failed"
         _log("LF loop verified")
 
+    if args.sa_entries:
+        ix.sampled_SA = runs.sampled_sa(args.sa_sample_rate)
+        ix.sa_sample_rate = args.sa_sample_rate
+        _log(f"sampled SA: {len(ix.sampled_SA)} entries "
+             f"(rate {args.sa_sample_rate})")
+
     ix.save(os.path.join(args.index, "index.npz"))
+
+    if args.ftab_k > 1:
+        from .cpu_ref.advanced import AdvancedEngine
+
+        aeng = AdvancedEngine(ix, ftab_k=args.ftab_k)
+        np.save(os.path.join(args.index, f"ftab.{args.ftab_k}.npy"),
+                aeng.ftab)
+        _log(f"ftab (k={args.ftab_k}) written")
 
     if not args.skip_null:
         records = []
@@ -86,7 +100,11 @@ def _query_type(args):
         return "zml"
     if args.count:
         return "count"
-    raise SystemExit("specify one of --pml/--zml/--count")
+    if args.mem:
+        return "mems"
+    if args.kmer or args.kmer_count:
+        return "kmers"
+    raise SystemExit("specify one of --pml/--zml/--count/--mem/--kmer")
 
 
 def cmd_query(args):
@@ -98,6 +116,43 @@ def cmd_query(args):
     reads = list(iter_fastx(args.read))
     if args.reverse:
         reads = [(n, s[::-1]) for n, s in reads]
+
+    if qt in ("mems", "kmers"):
+        from .cpu_ref.advanced import AdvancedEngine
+        from .io.outputs import mem_lines
+
+        ftab_path = os.path.join(args.index, f"ftab.{args.ftab_k}.npy")
+        eng = AdvancedEngine(ix, ftab_k=0)
+        if args.ftab_k > 1:
+            if os.path.exists(ftab_path):
+                eng.ftab = np.load(ftab_path)
+                eng.ftab_k = args.ftab_k
+            else:
+                eng.build_ftab(args.ftab_k)
+        lines = []
+        for name, seq in reads:
+            if qt == "mems":
+                mems = eng.query_mems(seq, args.min_mem_length)
+                lines.extend(mem_lines(name, mems))
+            elif args.kmer_count:
+                found, total = eng.count_kmers_bidirectional(seq, args.k)
+                lines.append(f"{name}\t{found}/{len(seq) - args.k + 1}\t{total}")
+            else:
+                spans = eng.query_all_kmers(seq, args.k)
+                found = sum(c for _, c in spans)
+                span_s = " ".join(f"{p}:{c}" for p, c in spans) + (" " if spans else "")
+                lines.append(f"{name}\t{found}/{len(seq) - args.k + 1}\t{span_s}")
+        if args.stdout:
+            for ln in lines:
+                print(ln)
+        else:
+            suffix = "" if qt == "mems" else f".{args.k}"
+            out = f"{args.read}.{ix.mode}.{qt}{suffix}"
+            with open(out, "w") as f:
+                for ln in lines:
+                    f.write(ln + "\n")
+            _log(f"wrote {out}")
+        return
 
     use_jax = not args.no_jax
     results = []
@@ -256,6 +311,9 @@ def main(argv=None):
     b.add_argument("--skip-null", action="store_true")
     b.add_argument("--bound-ff", type=int, default=None)
     b.add_argument("--seed", type=int, default=0)
+    b.add_argument("--ftab-k", type=int, default=0)
+    b.add_argument("--sa-entries", action="store_true")
+    b.add_argument("--sa-sample-rate", type=int, default=100)
     b.set_defaults(func=cmd_build)
 
     q = sub.add_parser("query")
@@ -264,6 +322,12 @@ def main(argv=None):
     q.add_argument("--pml", action="store_true")
     q.add_argument("--zml", action="store_true")
     q.add_argument("--count", action="store_true")
+    q.add_argument("--mem", action="store_true")
+    q.add_argument("--kmer", action="store_true")
+    q.add_argument("--kmer-count", action="store_true")
+    q.add_argument("--k", type=int, default=31)
+    q.add_argument("--min-mem-length", type=int, default=0)
+    q.add_argument("--ftab-k", type=int, default=0)
     q.add_argument("--classify", action="store_true")
     q.add_argument("--filter", action="store_true")
     q.add_argument("--invert", action="store_true")

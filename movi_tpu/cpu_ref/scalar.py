@@ -44,6 +44,20 @@ class ScalarEngine:
             ff += 1
         return offset, idx, ff
 
+    def get_SA_entry(self, idx: int, offset: int) -> int:
+        """SA value at (run idx, offset): LF-walk to the nearest sampled
+        position (move_structure.cpp:35-48)."""
+        ix = self.ix
+        assert ix.sampled_SA is not None, "index has no sampled SA"
+        rate = ix.sa_sample_rate
+        abs_offset = int(ix.all_p[idx]) + offset
+        distance = 0
+        while abs_offset % rate != 0:
+            offset, idx, _ = self.lf_move(offset, idx)
+            abs_offset = int(ix.all_p[idx]) + offset
+            distance += 1
+        return int(ix.sampled_SA[abs_offset // rate]) + distance
+
     def check_alphabet(self, c: int) -> bool:
         ix = self.ix
         if ix.separators and c == SEPARATOR:
@@ -108,10 +122,11 @@ class ScalarEngine:
             return ni, False
 
     # ------------------------------------------------------------------
-    def query_pml(self, read: bytes, random_repositioning: bool = False
-                  ) -> List[int]:
+    def query_pml(self, read: bytes, random_repositioning: bool = False,
+                  collect_sa: bool = False):
         """PMLs in processing order (right-to-left), as MoveQuery stores
-        them (move_structure_query.cpp:234-474)."""
+        them (move_structure_query.cpp:234-474).  With collect_sa, returns
+        (pmls, sa_entries) like --sa-entries (:354-357)."""
         ix = self.ix
         use_thr = ix.thr is not None
         r_arr = np.frombuffer(read, dtype=np.uint8)
@@ -119,6 +134,7 @@ class ScalarEngine:
         offset = int(ix.n_arr[idx]) - 1
         match_len = 0
         out: List[int] = []
+        sa_out: List[int] = []
         for pos in range(len(r_arr) - 1, -1, -1):
             c = int(r_arr[pos])
             if not self.check_alphabet(c):
@@ -142,7 +158,11 @@ class ScalarEngine:
                     assert idx < ix.r, "character not found in index"
                     offset = int(ix.n_arr[idx]) - 1 if up else 0
             out.append(match_len)
+            if collect_sa:
+                sa_out.append(self.get_SA_entry(idx, offset))
             offset, idx, _ = self.lf_move(offset, idx)
+        if collect_sa:
+            return out, sa_out
         return out
 
     # ------------------------------------------------------------------

@@ -64,6 +64,9 @@ class MoveIndex:
     sep_thresholds: Optional[np.ndarray] = None   # int64[num_sep_rows, 4]
     sep_row_map: Optional[Dict[int, int]] = None  # row -> sep_thresholds idx
     extras: Dict[str, np.ndarray] = field(default_factory=dict)
+    # sampled suffix array (ssa.movi analogue, move_structure_io.cpp:710-744)
+    sampled_SA: Optional[np.ndarray] = None
+    sa_sample_rate: int = 100
 
     # ---- lazily computed query acceleration tables (TPU-side design) ----
     _next_q: Optional[tuple] = None
@@ -152,6 +155,9 @@ class MoveIndex:
                      else np.zeros((0, 4), np.int64)),
             sep_rows=(np.array(sorted(self.sep_row_map), dtype=np.int64)
                       if self.sep_row_map else np.zeros(0, np.int64)),
+            sampled_sa=(self.sampled_SA if self.sampled_SA is not None
+                        else np.zeros(0, np.int64)),
+            sa_rate=np.array([self.sa_sample_rate], dtype=np.int64),
         )
 
     @classmethod
@@ -174,6 +180,10 @@ class MoveIndex:
             last_offsets=z["last_offsets"], separators=bool(separators),
             sep_thresholds=z["sep_thr"] if z["sep_thr"].shape[0] else None,
             sep_row_map=sep_map,
+            sampled_SA=(z["sampled_sa"] if "sampled_sa" in z.files
+                        and z["sampled_sa"].shape[0] else None),
+            sa_sample_rate=(int(z["sa_rate"][0]) if "sa_rate" in z.files
+                            else 100),
         )
 
 

@@ -45,6 +45,12 @@ def _load_native():
         ctypes.c_int64,
     ]
     lib.movi_lcp_kasai.restype = ctypes.c_int
+    lib.movi_thresholds.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int64,
+    ]
+    lib.movi_thresholds.restype = ctypes.c_int
     _NATIVE = lib
     return lib
 
@@ -185,6 +191,20 @@ def compute_thresholds(bwt: np.ndarray, lcp: np.ndarray,
     original_r = len(starts)
     n = len(bwt)
     thresholds = np.zeros(original_r, dtype=np.int64)
+    lib = _load_native()
+    if lib:
+        heads_c = np.ascontiguousarray(heads)
+        starts_c = np.ascontiguousarray(starts)
+        lcp_c = np.ascontiguousarray(lcp)
+        rc = lib.movi_thresholds(
+            heads_c.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            starts_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lcp_c.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            thresholds.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            ctypes.c_int64(original_r), ctypes.c_int64(n),
+        )
+        if rc == 0:
+            return thresholds
     ends = np.empty(original_r, dtype=np.int64)
     ends[:-1] = starts[1:]
     ends[-1] = n

@@ -1,0 +1,213 @@
+// movi_tpu native kernels: SA-IS suffix array + Kasai LCP.
+//
+// Replaces the reference's external pfp-thresholds toolchain
+// (CMakeLists.txt:80-94) for index construction: the Python builder calls
+// these via ctypes (movi_tpu/build/suffix.py) to go FASTA -> SA -> BWT ->
+// LCP -> thresholds entirely in-process.
+//
+// SA-IS: induced sorting suffix array construction, O(n) time.
+// The input text must end with a unique, smallest sentinel byte (0).
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+template <typename Char>
+void get_counts(const Char* s, int64_t* cnt, int64_t n, int64_t K) {
+  std::memset(cnt, 0, sizeof(int64_t) * K);
+  for (int64_t i = 0; i < n; i++) cnt[s[i]]++;
+}
+
+void get_buckets(const int64_t* cnt, int64_t* bkt, int64_t K, bool end) {
+  int64_t sum = 0;
+  for (int64_t i = 0; i < K; i++) {
+    sum += cnt[i];
+    bkt[i] = end ? sum : sum - cnt[i];
+  }
+}
+
+// t[i] = true iff suffix i is S-type
+template <typename Char>
+void classify(const Char* s, std::vector<bool>& t, int64_t n) {
+  t[n - 1] = true;  // sentinel is S
+  for (int64_t i = n - 2; i >= 0; i--) {
+    t[i] = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && t[i + 1]);
+  }
+}
+
+inline bool is_lms(const std::vector<bool>& t, int64_t i) {
+  return i > 0 && t[i] && !t[i - 1];
+}
+
+template <typename Char>
+void induce(const Char* s, int64_t* sa, const std::vector<bool>& t,
+            std::vector<int64_t>& cnt, std::vector<int64_t>& bkt,
+            int64_t n, int64_t K) {
+  // induce L-type from sorted LMS
+  get_buckets(cnt.data(), bkt.data(), K, false);
+  for (int64_t i = 0; i < n; i++) {
+    int64_t j = sa[i] - 1;
+    if (sa[i] > 0 && j >= 0 && !t[j]) sa[bkt[s[j]]++] = j;
+  }
+  // induce S-type
+  get_buckets(cnt.data(), bkt.data(), K, true);
+  for (int64_t i = n - 1; i >= 0; i--) {
+    int64_t j = sa[i] - 1;
+    if (sa[i] > 0 && j >= 0 && t[j]) sa[--bkt[s[j]]] = j;
+  }
+}
+
+template <typename Char>
+void sais(const Char* s, int64_t* sa, int64_t n, int64_t K) {
+  if (n == 1) { sa[0] = 0; return; }
+
+  std::vector<bool> t(n);
+  classify(s, t, n);
+
+  std::vector<int64_t> cnt(K), bkt(K);
+  get_counts(s, cnt.data(), n, K);
+
+  // step 1: place LMS suffixes at bucket ends (arbitrary order), induce
+  get_buckets(cnt.data(), bkt.data(), K, true);
+  std::fill(sa, sa + n, (int64_t)-1);
+  for (int64_t i = n - 1; i > 0; i--) {
+    if (is_lms(t, i)) sa[--bkt[s[i]]] = i;
+  }
+  induce(s, sa, t, cnt, bkt, n, K);
+
+  // step 2: compact sorted LMS suffixes into sa[0..n1)
+  int64_t n1 = 0;
+  for (int64_t i = 0; i < n; i++) {
+    if (is_lms(t, sa[i])) sa[n1++] = sa[i];
+  }
+
+  // name LMS substrings
+  std::fill(sa + n1, sa + n, (int64_t)-1);
+  int64_t name = 0, prev = -1;
+  for (int64_t i = 0; i < n1; i++) {
+    int64_t pos = sa[i];
+    bool diff = false;
+    if (prev < 0) {
+      diff = true;
+    } else {
+      for (int64_t d = 0;; d++) {
+        if (pos + d >= n || prev + d >= n) { diff = true; break; }
+        if (s[pos + d] != s[prev + d] || t[pos + d] != t[prev + d]) {
+          diff = true; break;
+        }
+        if (d > 0 && (is_lms(t, pos + d) || is_lms(t, prev + d))) {
+          // reached the end of both LMS substrings with equality
+          diff = !(is_lms(t, pos + d) && is_lms(t, prev + d));
+          break;
+        }
+      }
+    }
+    if (diff) { name++; prev = pos; }
+    sa[n1 + pos / 2] = name - 1;
+  }
+  // compact names to the tail
+  int64_t* s1 = sa + n - n1;
+  for (int64_t i = n - 1, j = n - 1; i >= n1; i--) {
+    if (sa[i] >= 0) sa[j--] = sa[i];
+  }
+
+  // step 3: recurse if names are not unique
+  if (name < n1) {
+    sais<int64_t>(s1, sa, n1, name);
+  } else {
+    for (int64_t i = 0; i < n1; i++) sa[s1[i]] = i;
+  }
+
+  // map recursion result back to LMS positions
+  std::vector<int64_t> lms(n1);
+  for (int64_t i = 1, j = 0; i < n; i++) {
+    if (is_lms(t, i)) lms[j++] = i;
+  }
+  for (int64_t i = 0; i < n1; i++) sa[i] = lms[sa[i]];
+
+  // step 4: place sorted LMS at bucket ends, induce final SA
+  std::fill(sa + n1, sa + n, (int64_t)-1);
+  get_buckets(cnt.data(), bkt.data(), K, true);
+  for (int64_t i = n1 - 1; i >= 0; i--) {
+    int64_t j = sa[i];
+    sa[i] = -1;
+    sa[--bkt[s[j]]] = j;
+  }
+  induce(s, sa, t, cnt, bkt, n, K);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Suffix array of text[0..n); text[n-1] must be the unique smallest byte.
+int movi_sais(const uint8_t* text, int64_t* sa, int64_t n) {
+  if (n <= 0) return 1;
+  if (n == 1) { sa[0] = 0; return 0; }
+  sais<uint8_t>(text, sa, n, 256);
+  return 0;
+}
+
+// Kasai LCP: lcp[i] = lcp(suffix(sa[i-1]), suffix(sa[i])), lcp[0] = 0.
+// rank is scratch of size n.
+int movi_lcp_kasai(const uint8_t* text, const int64_t* sa, int64_t* lcp,
+                   int64_t* rank, int64_t n) {
+  for (int64_t i = 0; i < n; i++) rank[sa[i]] = i;
+  int64_t h = 0;
+  lcp[0] = 0;
+  for (int64_t i = 0; i < n; i++) {
+    int64_t r = rank[i];
+    if (r > 0) {
+      int64_t j = sa[r - 1];
+      int64_t m = n - (i > j ? i : j);
+      while (h < m && text[i + h] == text[j + h]) h++;
+      lcp[r] = h;
+      if (h > 0) h--;
+    } else {
+      h = 0;
+    }
+  }
+  return 0;
+}
+
+// BWT from SA: bwt[i] = text[(sa[i] + n - 1) % n]
+int movi_bwt(const uint8_t* text, const int64_t* sa, uint8_t* bwt,
+             int64_t n) {
+  for (int64_t i = 0; i < n; i++) {
+    int64_t p = sa[i];
+    bwt[i] = text[p == 0 ? n - 1 : p - 1];
+  }
+  return 0;
+}
+
+// Per-run thresholds: for run k (head char c, start s), the first position
+// t in (prev_end_of_c, s] minimizing lcp[t]; 0 if c unseen before.
+// starts/ends are run boundaries; heads are run head chars.
+int movi_thresholds(const uint8_t* heads, const int64_t* starts,
+                    const int64_t* lcp, int64_t* thresholds,
+                    int64_t original_r, int64_t n) {
+  int64_t last_end[256];
+  for (int i = 0; i < 256; i++) last_end[i] = -1;
+  for (int64_t k = 0; k < original_r; k++) {
+    uint8_t c = heads[k];
+    int64_t s = starts[k];
+    int64_t end = (k + 1 < original_r) ? starts[k + 1] : n;
+    if (last_end[c] < 0) {
+      thresholds[k] = 0;
+    } else {
+      int64_t lo = last_end[c] + 1;
+      int64_t best = lo;
+      int64_t best_v = lcp[lo];
+      for (int64_t t = lo + 1; t <= s; t++) {
+        if (lcp[t] < best_v) { best_v = lcp[t]; best = t; }
+      }
+      thresholds[k] = best;
+    }
+    last_end[c] = end - 1;
+  }
+  return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,111 @@
+"""Multi-chip / multi-host scaling.
+
+The reference parallelizes with OpenMP threads over a shared BatchLoader
+(movi.cpp:274-301).  The TPU equivalent is data parallelism over the read
+lane axis of a jax.sharding.Mesh:
+
+  - index tables are replicated per device (HBM-resident)
+  - read batches are sharded on the lane axis; every device runs the same
+    fused gather-scan on its shard -- no collectives in the query loop
+  - aggregate statistics (total ff counts, kmer stats, found-read counts)
+    merge via psum-style reductions at batch end
+  - multi-host: the same code under jax.distributed; batches stream
+    data-parallel per host (SURVEY.md section 5)
+
+A character-sharded index layout (all-to-all routing of lane->shard steps)
+is the planned capacity-scaling variant for indexes exceeding one chip's
+HBM.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine.fused import FusedIndex, fused_pml_step
+
+
+def make_mesh(n_devices: Optional[int] = None, axis: str = "data") -> Mesh:
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    return Mesh(np.array(devs[:n]), (axis,))
+
+
+def replicate_index(mesh: Mesh, fi: FusedIndex) -> FusedIndex:
+    rep = NamedSharding(mesh, P())
+    return jax.tree.map(lambda a: jax.device_put(a, rep), fi)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _pml_classify_scan(fi: FusedIndex, alphas_t: jax.Array,
+                       lengths: jax.Array, bin_width: int,
+                       max_value_thr: jax.Array):
+    """Fused PML + on-device classification.
+
+    Returns (ml [W, lanes] u16, found [lanes] bool, above, below [lanes]).
+    Classification mirrors classifier.cpp:99-143: bins over the
+    processing-order matching lengths, last short region merged into the
+    previous bin.
+    """
+    W, lanes = alphas_t.shape
+    slots = fi.sigma + 1
+    idx0 = jnp.full((lanes,), fi.start_idx, jnp.int32)
+    off0 = jnp.full((lanes,), fi.start_offset, jnp.int32)
+    ml0 = jnp.zeros((lanes,), jnp.int32)
+
+    def step(state, a):
+        return fused_pml_step(fi.records, slots, state, a)
+
+    _, ml = jax.lax.scan(step, (idx0, off0, ml0), alphas_t)
+
+    # ---- binned maxima (vectorized over variable read lengths) ----
+    nb = -(-W // bin_width)  # naive bin count (ceil)
+    pad = nb * bin_width - W
+    t_idx = jnp.arange(W)[:, None]
+    masked = jnp.where(t_idx < lengths[None, :], ml, -1)
+    padded = jnp.pad(masked, ((0, pad), (0, 0)), constant_values=-1)
+    naive = padded.reshape(nb, bin_width, lanes).max(axis=1)  # [nb, lanes]
+
+    B = jnp.maximum(lengths // bin_width, 1)  # true bin count per lane
+    b_idx = jnp.arange(nb)[:, None]
+    # bins strictly before the merged last bin
+    pre = (b_idx < B[None, :] - 1) & (naive >= max_value_thr)
+    above_pre = pre.sum(axis=0)
+    # merged last bin: max over naive bins B-1 .. nb-1
+    tailmask = b_idx >= (B[None, :] - 1)
+    tail_max = jnp.where(tailmask, naive, -1).max(axis=0)
+    above = above_pre + (tail_max >= max_value_thr).astype(jnp.int32)
+    below = B.astype(jnp.int32) - above
+    found = 2 * above > B
+    return ml.astype(jnp.uint16), found, above, below
+
+
+class ShardedPMLEngine:
+    """Data-parallel PML (+classification) over a mesh."""
+
+    def __init__(self, fi: FusedIndex, mesh: Optional[Mesh] = None,
+                 bin_width: int = 150, max_value_thr: int = 4):
+        self.mesh = mesh or make_mesh()
+        self.fi = replicate_index(self.mesh, fi)
+        self.bin_width = bin_width
+        self.max_value_thr = max_value_thr
+        self.lane_sharding = NamedSharding(self.mesh, P(None, "data"))
+        self.vec_sharding = NamedSharding(self.mesh, P("data"))
+
+    def query_batch_device(self, seqs: np.ndarray, lengths: np.ndarray):
+        """seqs: uint8 [lanes, W] right-aligned; lanes must be divisible
+        by the mesh size.  Returns (ml, found, above, below) device arrays
+        sharded over lanes."""
+        alphas = self.fi.alphamap_query[seqs[:, ::-1]].T.astype(np.int32)
+        alphas_d = jax.device_put(jnp.asarray(alphas), self.lane_sharding)
+        lengths_d = jax.device_put(jnp.asarray(lengths.astype(np.int32)),
+                                   self.vec_sharding)
+        return _pml_classify_scan(self.fi, alphas_d, lengths_d,
+                                  self.bin_width,
+                                  jnp.int32(self.max_value_thr))

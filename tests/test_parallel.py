@@ -1,0 +1,79 @@
+"""Sharded engine on an 8-device CPU mesh: results must equal the scalar
+engine + scalar classifier."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from movi_tpu.build.suffix import build_bwt_runs
+from movi_tpu.classify import Classifier, EmpNullDatabase
+from movi_tpu.cpu_ref.scalar import ScalarEngine
+from movi_tpu.engine.fused import build_fused_index
+from movi_tpu.index.structure import build_move_index
+from movi_tpu.parallel.mesh import ShardedPMLEngine, make_mesh
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(31)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    text = rng.choice(bases, size=6000).astype(np.uint8)
+    ix = build_move_index(build_bwt_runs(text), "regular-thresholds",
+                         bound_ff=1)
+    return text, ix, ScalarEngine(ix), build_fused_index(ix)
+
+
+def test_sharded_pml_and_classify(setup):
+    text, ix, scalar, fi = setup
+    assert len(jax.devices()) >= 8, "needs the 8-device CPU mesh"
+    mesh = make_mesh(8)
+
+    rng = np.random.default_rng(37)
+    lanes, Wmax = 32, 64
+    seqs = np.full((lanes, Wmax), 255, dtype=np.uint8)
+    lengths = np.zeros(lanes, dtype=np.int32)
+    reads = []
+    for i in range(lanes):
+        L = int(rng.integers(8, Wmax))
+        s = int(rng.integers(0, len(text) - L))
+        seq = text[s : s + L].copy()
+        pos = rng.integers(0, L, size=max(1, L // 6))
+        seq[pos] = rng.choice(np.frombuffer(b"ACGTN", np.uint8),
+                              size=len(pos))
+        seqs[i, Wmax - L :] = seq
+        lengths[i] = L
+        reads.append(bytes(seq.tobytes()))
+
+    db = EmpNullDatabase()
+    db.compute([1, 1, 1, 1, 1, 2, 2, 2, 2, 2])
+    cl = Classifier(db, bin_width=16)
+
+    eng = ShardedPMLEngine(fi, mesh=mesh, bin_width=16,
+                           max_value_thr=cl.max_value_thr)
+    ml, found, above, below = eng.query_batch_device(seqs, lengths)
+    ml = np.asarray(ml)
+    found = np.asarray(found)
+    above = np.asarray(above)
+    below = np.asarray(below)
+
+    for i, seq in enumerate(reads):
+        L = lengths[i]
+        want_pml = scalar.query_pml(seq)
+        assert ml[:L, i].tolist() == want_pml, i
+        w_found, _, w_above, w_below = cl.classify(want_pml)
+        assert (found[i], above[i], below[i]) == (w_found, w_above, w_below), i
+
+    # output is genuinely sharded over the mesh
+    assert len(ml.shape) == 2
+
+
+def test_mesh_sharding_spec(setup):
+    text, ix, scalar, fi = setup
+    mesh = make_mesh(8)
+    eng = ShardedPMLEngine(fi, mesh=mesh)
+    seqs = np.full((16, 32), 255, dtype=np.uint8)
+    seqs[:, -10:] = ord("A")
+    lengths = np.full(16, 10, dtype=np.int32)
+    ml, found, above, below = eng.query_batch_device(seqs, lengths)
+    assert "data" in str(found.sharding.spec)

@@ -64,6 +64,22 @@ def cmd_build(args):
         _log(f"sampled SA: {len(ix.sampled_SA)} entries "
              f"(rate {args.sa_sample_rate})")
 
+    # document metadata (always written; needed by color / multi-classify)
+    with open(os.path.join(args.index, "ref.fa.doc_offsets"), "w") as f:
+        for off in ref.doc_offsets:
+            f.write(f"{off}\n")
+
+    if args.color:
+        from .color import DocumentInfo, build_color_table, compress_color_table
+
+        di = DocumentInfo.create(ref.doc_offsets)
+        ct = build_color_table(ix, runs.sa, di)
+        if args.compress_colors:
+            ct = compress_color_table(ct)
+        ct.save(os.path.join(args.index, "colors.npz"))
+        _log(f"colors: {len(ct.unique_doc_sets)} unique doc sets over "
+             f"{di.num_docs} documents")
+
     ix.save(os.path.join(args.index, "index.npz"))
 
     if args.ftab_k > 1:
@@ -116,6 +132,28 @@ def cmd_query(args):
     reads = list(iter_fastx(args.read))
     if args.reverse:
         reads = [(n, s[::-1]) for n, s in reads]
+
+    if args.multi_classify:
+        from .color import ColorEngine, ColorTable
+
+        ct = ColorTable.load(os.path.join(args.index, "colors.npz"))
+        eng = ColorEngine(ix, ct, min_match_len=args.min_match_len,
+                          pvalue_scoring=args.pvalue_scoring)
+        out_path = (args.out_file
+                    or f"{args.read}.{ix.mode}.multiclass.csv")
+        lines = []
+        for name, seq in reads:
+            _, cell = eng.query_pml_multiclass(seq)
+            lines.append(f"{name},{cell}")
+        if args.stdout:
+            for ln in lines:
+                print(ln)
+        else:
+            with open(out_path, "w") as f:
+                for ln in lines:
+                    f.write(ln + "\n")
+            _log(f"wrote {out_path}")
+        return
 
     if qt in ("mems", "kmers"):
         from .cpu_ref.advanced import AdvancedEngine
@@ -314,6 +352,8 @@ def main(argv=None):
     b.add_argument("--ftab-k", type=int, default=0)
     b.add_argument("--sa-entries", action="store_true")
     b.add_argument("--sa-sample-rate", type=int, default=100)
+    b.add_argument("--color", action="store_true")
+    b.add_argument("--compress-colors", action="store_true")
     b.set_defaults(func=cmd_build)
 
     q = sub.add_parser("query")
@@ -329,6 +369,9 @@ def main(argv=None):
     q.add_argument("--min-mem-length", type=int, default=0)
     q.add_argument("--ftab-k", type=int, default=0)
     q.add_argument("--classify", action="store_true")
+    q.add_argument("--multi-classify", action="store_true")
+    q.add_argument("--min-match-len", type=int, default=0)
+    q.add_argument("--pvalue-scoring", action="store_true")
     q.add_argument("--filter", action="store_true")
     q.add_argument("--invert", action="store_true")
     q.add_argument("--stdout", action="store_true")

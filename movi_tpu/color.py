@@ -1,0 +1,270 @@
+"""Movi Color: multi-class (per-document) classification.
+
+Mirrors src/move_structure_color.cpp + the multi-class query paths in
+move_structure_query.cpp:252-471:
+  - doc_pats: document id for every BWT row.  The reference derives them
+    with an O(n) LF sweep (build_doc_pats, :4-24); we take them directly
+    from the build-time suffix array.
+  - doc_sets: unique sorted doc-set per run, deduplicated (:27-72)
+  - frequency compression keeping the top 2^16 sets, singletons first
+    (:114-169)
+  - flat color table (flat_and_serialize_colors_vectors,
+    move_structure_io.cpp:513-548)
+  - document metadata (load_document_info, move_structure_io.cpp:643-708)
+  - query-time per-base doc voting with best/second-best and p-value
+    scoring (move_structure_query.cpp:373-470)
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .constants import UNCLASSIFIED_THRESHOLD
+from .cpu_ref.scalar import ScalarEngine
+from .index.structure import MoveIndex
+
+LOG4 = math.log(4)
+
+
+@dataclass
+class DocumentInfo:
+    """load_document_info semantics: taxon ids compressed to
+    0..num_species-1 in sorted taxon order."""
+
+    doc_offsets: np.ndarray      # int64[num_docs] cumulative end offsets
+    doc_ids: np.ndarray          # int32[num_docs] compressed species ids
+    to_taxon_id: np.ndarray      # int64[num_species] species -> taxon id
+    log_lens: np.ndarray         # float64[num_species]
+
+    @property
+    def num_docs(self):
+        return len(self.doc_offsets)
+
+    @property
+    def num_species(self):
+        return len(self.to_taxon_id)
+
+    @classmethod
+    def create(cls, doc_offsets: Sequence[int],
+               taxon_ids: Optional[Sequence[int]] = None) -> "DocumentInfo":
+        doc_offsets = np.asarray(doc_offsets, dtype=np.int64)
+        num_docs = len(doc_offsets)
+        if taxon_ids is None:
+            taxon_ids = np.arange(1, num_docs + 1, dtype=np.int64)
+        else:
+            taxon_ids = np.asarray(taxon_ids, dtype=np.int64)
+        uniq = np.unique(taxon_ids)  # sorted, like std::map iteration
+        compress = {int(t): i for i, t in enumerate(uniq)}
+        doc_ids = np.array([compress[int(t)] for t in taxon_ids],
+                           dtype=np.int32)
+        log_lens = np.zeros(len(uniq))
+        prev = 0
+        for i in range(num_docs):
+            log_lens[doc_ids[i]] += doc_offsets[i] - prev
+            prev = doc_offsets[i]
+        log_lens = np.log(np.maximum(log_lens, 1))
+        return cls(doc_offsets=doc_offsets, doc_ids=doc_ids,
+                   to_taxon_id=uniq, log_lens=log_lens)
+
+
+@dataclass
+class ColorTable:
+    doc_pats: np.ndarray                # uint16[n] species per BWT row
+    doc_set_inds: np.ndarray            # int64[r] run -> unique set index
+    unique_doc_sets: List[np.ndarray]   # each: sorted uint16 species ids
+    doc_info: DocumentInfo = None
+
+    def save(self, path: str):
+        flat, offsets = self.flatten()
+        np.savez_compressed(
+            path, doc_pats=self.doc_pats, doc_set_inds=self.doc_set_inds,
+            flat=flat, doc_offsets=self.doc_info.doc_offsets,
+            doc_ids=self.doc_info.doc_ids,
+            to_taxon_id=self.doc_info.to_taxon_id,
+            log_lens=self.doc_info.log_lens)
+
+    @classmethod
+    def load(cls, path: str) -> "ColorTable":
+        z = np.load(path)
+        flat = z["flat"]
+        sets = []
+        off = 0
+        while off < len(flat):
+            size = int(flat[off])
+            sets.append(flat[off + 1 : off + 1 + size].astype(np.uint16))
+            off += size + 1
+        di = DocumentInfo(doc_offsets=z["doc_offsets"], doc_ids=z["doc_ids"],
+                          to_taxon_id=z["to_taxon_id"],
+                          log_lens=z["log_lens"])
+        return cls(doc_pats=z["doc_pats"], doc_set_inds=z["doc_set_inds"],
+                   unique_doc_sets=sets, doc_info=di)
+
+    def flatten(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Flat color table: [size, docs...] blocks + per-set offsets
+        (flat_and_serialize_colors_vectors)."""
+        parts = []
+        offsets = np.zeros(len(self.unique_doc_sets), dtype=np.int64)
+        off = 0
+        for i, s in enumerate(self.unique_doc_sets):
+            offsets[i] = off
+            parts.append(np.concatenate([[len(s)], s]).astype(np.int64))
+            off += len(s) + 1
+        flat = (np.concatenate(parts) if parts
+                else np.zeros(0, dtype=np.int64))
+        return flat, offsets
+
+
+def build_color_table(ix: MoveIndex, sa: np.ndarray,
+                      doc_info: DocumentInfo) -> ColorTable:
+    """doc_pats from the suffix array + per-run doc sets."""
+    n = ix.length
+    ends = doc_info.doc_offsets
+    # document of each text position, then per BWT row via SA
+    doc_of_pos = np.searchsorted(ends, sa, side="right")
+    doc_of_pos = np.minimum(doc_of_pos, doc_info.num_docs - 1)
+    doc_pats = doc_info.doc_ids[doc_of_pos].astype(np.uint16)
+
+    # per-run unique doc sets
+    r = ix.r
+    run_of_p = np.repeat(np.arange(r, dtype=np.int64),
+                         ix.n_arr.astype(np.int64))
+    num_sp = doc_info.num_species
+    key = run_of_p * num_sp + doc_pats
+    uniq_keys = np.unique(key)
+    runs_k = uniq_keys // num_sp
+    docs_k = (uniq_keys % num_sp).astype(np.uint16)
+
+    doc_set_inds = np.zeros(r, dtype=np.int64)
+    unique_doc_sets: List[np.ndarray] = []
+    seen: Dict[bytes, int] = {}
+    # group by run (uniq_keys sorted -> runs grouped, docs sorted in-group)
+    boundaries = np.flatnonzero(np.diff(runs_k, prepend=-1))
+    boundaries = np.append(boundaries, len(runs_k))
+    for b in range(len(boundaries) - 1):
+        lo, hi = boundaries[b], boundaries[b + 1]
+        run = int(runs_k[lo])
+        docs = docs_k[lo:hi]
+        kb = docs.tobytes()
+        idx = seen.get(kb)
+        if idx is None:
+            idx = len(unique_doc_sets)
+            seen[kb] = idx
+            unique_doc_sets.append(docs.copy())
+        doc_set_inds[run] = idx
+    return ColorTable(doc_pats=doc_pats, doc_set_inds=doc_set_inds,
+                      unique_doc_sets=unique_doc_sets, doc_info=doc_info)
+
+
+def compress_color_table(ct: ColorTable, take: int = 1 << 16) -> ColorTable:
+    """Frequency compression: keep the `take` most frequent sets,
+    singletons first (compress_doc_sets, :114-169).  Dropped runs point
+    past the kept table (skipped at query time)."""
+    num_sets = len(ct.unique_doc_sets)
+    if num_sets <= take:
+        return ct
+    cnts = np.bincount(ct.doc_set_inds, minlength=num_sets)
+    singleton = np.array([len(s) == 1 for s in ct.unique_doc_sets])
+    order = sorted(range(num_sets),
+                   key=lambda i: (bool(singleton[i]), int(cnts[i]), i),
+                   reverse=True)
+    keep = order[:take]
+    compress_to = np.full(num_sets, take, dtype=np.int64)
+    new_sets = []
+    for new_i, old_i in enumerate(keep):
+        compress_to[old_i] = new_i
+        new_sets.append(ct.unique_doc_sets[old_i])
+    return ColorTable(doc_pats=ct.doc_pats,
+                      doc_set_inds=compress_to[ct.doc_set_inds],
+                      unique_doc_sets=new_sets, doc_info=ct.doc_info)
+
+
+class ColorEngine(ScalarEngine):
+    """Scalar multi-class classification engine."""
+
+    def __init__(self, ix: MoveIndex, ct: ColorTable,
+                 min_match_len: int = 0, pvalue_scoring: bool = False):
+        super().__init__(ix)
+        self.ct = ct
+        self.min_match_len = min_match_len
+        self.pvalue_scoring = pvalue_scoring
+
+    def query_pml_multiclass(self, read: bytes) -> Tuple[List[int], str]:
+        """PML with per-base doc-set voting
+        (move_structure_query.cpp:252-471).  Returns (pmls, csv_cell)
+        where csv_cell is "primary,secondary" in taxon ids."""
+        ix = self.ix
+        ct = self.ct
+        di = ct.doc_info
+        num_sp = di.num_species
+        cnts = np.zeros(num_sp, dtype=np.int64)
+        scores = np.zeros(num_sp)
+        best = -1
+        second = -1
+        r_arr = np.frombuffer(read, dtype=np.uint8)
+        idx = ix.r - 1
+        offset = int(ix.n_arr[idx]) - 1
+        match_len = 0
+        out: List[int] = []
+        sum_ml = 0
+        for pos in range(len(r_arr) - 1, -1, -1):
+            c = int(r_arr[pos])
+            if not self.check_alphabet(c):
+                match_len = 0
+            else:
+                read_alpha = int(ix.alphamap[c])
+                row_char = int(ix.alphabet[ix.c_arr[idx]])
+                if row_char == c:
+                    match_len += 1
+                else:
+                    idx, up = self.reposition_thresholds(idx, offset,
+                                                         read_alpha)
+                    match_len = 0
+                    offset = int(ix.n_arr[idx]) - 1 if up else 0
+            sum_ml += match_len
+            out.append(match_len)
+            offset, idx, _ = self.lf_move(offset, idx)
+            # voting happens after the LF step (reference order :361-436)
+            if match_len >= self.min_match_len:
+                color_id = int(ct.doc_set_inds[idx])
+                if color_id >= len(ct.unique_doc_sets):
+                    continue  # compressed away
+                for doc in ct.unique_doc_sets[color_id]:
+                    doc = int(doc)
+                    if not self.pvalue_scoring:
+                        cnts[doc] += 1
+                        if doc != best:
+                            if best < 0 or cnts[doc] > cnts[best]:
+                                second = best
+                                best = doc
+                            elif second < 0 or cnts[doc] > cnts[second]:
+                                second = doc
+                    else:
+                        val = match_len - di.log_lens[doc] / LOG4
+                        if val >= 0:
+                            scores[doc] += min(val, 1.0)
+                            if doc != best:
+                                if best < 0 or scores[doc] > scores[best]:
+                                    second = best
+                                    best = doc
+                                elif (second < 0
+                                      or scores[doc] > scores[second]):
+                                    second = doc
+
+        # report cell (move_structure_query.cpp:439-471)
+        pml_mean = sum_ml / max(len(r_arr), 1)
+        if pml_mean < UNCLASSIFIED_THRESHOLD or best < 0:
+            cell = "0,0"
+        elif second < 0:
+            cell = f"{di.to_taxon_id[best]},0"
+        else:
+            b = cnts[best] if not self.pvalue_scoring else scores[best]
+            s = cnts[second] if not self.pvalue_scoring else scores[second]
+            if (b - s) < 0.05 * b:
+                cell = f"{di.to_taxon_id[best]},{di.to_taxon_id[second]}"
+            else:
+                cell = f"{di.to_taxon_id[best]},0"
+        return out, cell

@@ -108,9 +108,12 @@ def build_thr_full(ix: MoveIndex) -> np.ndarray:
             continue
         if 0 <= ai < len(ix.end_bwt_idx_thresholds):
             thr_full[e, a] = ix.end_bwt_idx_thresholds[ai]
-    # separator rows
+    # separator rows (the '$' row may appear in the map for serialization
+    # parity; its thresholds live in end_bwt_idx_thresholds)
     if ix.separators and ix.sep_row_map:
         for row, k in ix.sep_row_map.items():
+            if row == ix.end_bwt_idx:
+                continue
             for a in range(sigma):
                 if a == sep_index:
                     continue

@@ -1,0 +1,389 @@
+"""Reference-compatible `index.movi` serialization.
+
+Byte-layout mirror of src/move_structure_io.cpp (serialize :435-469,
+write_* helpers) and the per-mode packed MoveRow layouts
+(include/move_row.hpp, include/move_row_configs.hpp, src/move_row.cpp).
+The emitted files match the reference's exact byte sizes (the contract of
+tests/test_build.cpp) and the documented field semantics; padding and
+fields the reference leaves unset are zeroed.
+
+Supported modes: large(0), blocked(2), regular(3), sampled(5),
+regular-thresholds(6), sampled-thresholds(7), blocked-thresholds(8).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Optional
+
+import numpy as np
+
+from ..constants import MODE_INFO
+from .structure import MoveIndex
+
+MOVI_MAGIC = 0x4D4F5649
+VERSION = (2, 0, 0)
+
+TALLY_CHECKPOINTS = 20
+BLOCK_SIZE = {2: 1 << 22, 8: 1 << 20}
+MAX_BLOCKED_ID = {2: (1 << 24) - 1, 8: (1 << 22) - 1}
+
+
+def _thr_bits(ix: MoveIndex):
+    """Per-row 1-bit thresholds for split-threshold modes: bit = 1 iff
+    the stored value equals n (move_structure_build.cpp:869-878)."""
+    thr = ix.thr
+    n = ix.n_arr.astype(np.int64)[:, None]
+    bits = (thr.astype(np.int64) >= n).astype(np.uint16)
+    inside = (thr > 0) & (thr < n)
+    if np.any(inside):
+        raise ValueError("non-boundary threshold in a split-thresholds mode")
+    return bits  # [r, 3]
+
+
+def _header_bytes(mode_num: int, ix: MoveIndex) -> bytes:
+    h = struct.pack("<IBBB", MOVI_MAGIC, *VERSION)
+    h += struct.pack("<BB", mode_num, 0)  # type, reserved
+    h += b"\x00" * 7      # struct padding to 8-byte alignment
+    h += struct.pack("<QQQQ", ix.length, ix.r, ix.original_r, ix.end_bwt_idx)
+    assert len(h) == 48
+    return h
+
+
+def _basic_bytes(ix: MoveIndex) -> bytes:
+    out = bytearray()
+    end_thr = np.zeros(4, dtype="<u8")
+    for j in range(min(4, len(ix.end_bwt_idx_thresholds))):
+        end_thr[j] = ix.end_bwt_idx_thresholds[j]
+    out += end_thr.tobytes()
+    out += np.zeros(4, dtype="<u8").tobytes()  # end_bwt_idx_next_down
+    out += np.zeros(4, dtype="<u8").tobytes()  # end_bwt_idx_next_up
+    out += struct.pack("<Q", 256)
+    out += ix.alphamap.astype("<u8").tobytes()
+    out += struct.pack("<Q", ix.sigma)
+    out += ix.alphabet.tobytes()
+    out += struct.pack("<H", 0)   # nt_splitting
+    out += struct.pack("<B", 0)   # constant
+    return bytes(out)
+
+
+def _overflow_bytes() -> bytes:
+    return struct.pack("<QQQ", 0, 0, 0)
+
+
+def _counts_bytes(ix: MoveIndex) -> bytes:
+    out = bytearray()
+    out += struct.pack("<Q", ix.sigma)
+    out += ix.counts.astype("<u8").tobytes()
+    out += struct.pack("<Q", ix.sigma + 1)
+    out += ix.last_runs.astype("<u8").tobytes()
+    out += ix.last_offsets.astype("<u8").tobytes()
+    out += ix.first_runs.astype("<u8").tobytes()
+    out += ix.first_offsets.astype("<u8").tobytes()
+    return bytes(out)
+
+
+def _rows_movi1(ix: MoveIndex) -> bytes:
+    """Large/split 12B rows: id u32 | n u16 | offset u16 | threshold u16 |
+    overflow_bits u8 | thresholds_status u8."""
+    r = ix.r
+    rows = np.zeros(r, dtype=[("id", "<u4"), ("n", "<u2"), ("off", "<u2"),
+                              ("thr", "<u2"), ("ovf", "u1"), ("ts", "u1")])
+    rows["id"] = ix.id_arr & 0xFFFFFFFF
+    rows["n"] = ix.n_arr
+    rows["off"] = ix.offset_arr
+    rows["ovf"] = 0xF0 | ((ix.id_arr >> 32) & 0x0F)
+    ts = np.zeros(r, dtype=np.uint16)
+    thr16 = np.zeros(r, dtype=np.uint16)
+    if ix.thr is not None:
+        n64 = ix.n_arr.astype(np.int64)
+        for slot in range(3):
+            v = ix.thr[:, slot].astype(np.int64)
+            status = np.where(v == 0, 0, np.where(v >= n64, 3, 1))
+            ts |= (status.astype(np.uint16) << (slot * 2))
+            nontrivial = status == 1
+            thr16 = np.where(nontrivial, v.astype(np.uint16), thr16)
+    ts |= (ix.c_arr.astype(np.uint16) << 6) & 0xC0
+    # '$' row: stored c bits are 0 (masked set_c), matching c_arr[end]=0
+    rows["thr"] = thr16
+    rows["ts"] = ts.astype(np.uint8)
+    return rows.tobytes()
+
+
+def _rows_regular(ix: MoveIndex, with_thr: bool) -> bytes:
+    """Regular(-thresholds) 8B rows: id u32 | n u16 | offset u16
+    (move_row_configs.hpp:20-51)."""
+    r = ix.r
+    shift_c = 13
+    len_bits = 11 if with_thr else 12
+    nfield = (ix.n_arr.astype(np.uint32) & ((1 << len_bits) - 1)) | \
+             (ix.c_arr.astype(np.uint32) << shift_c)
+    ofield = (ix.offset_arr.astype(np.uint32) & ((1 << len_bits) - 1)) | \
+             (((ix.id_arr >> 32) & 0xF).astype(np.uint32) << 12)
+    if with_thr:
+        bits = _thr_bits(ix)
+        ofield |= bits[:, 0].astype(np.uint32) << 11   # SHIFT_THRESHOLD_1
+        nfield |= bits[:, 1].astype(np.uint32) << 11   # SHIFT_THRESHOLD_2
+        nfield |= bits[:, 2].astype(np.uint32) << 12   # SHIFT_THRESHOLD_3
+    rows = np.zeros(r, dtype=[("id", "<u4"), ("n", "<u2"), ("off", "<u2")])
+    rows["id"] = ix.id_arr & 0xFFFFFFFF
+    rows["n"] = nfield.astype(np.uint16)
+    rows["off"] = ofield.astype(np.uint16)
+    return rows.tobytes()
+
+
+def _blocked_ids(ix: MoveIndex, mode_num: int):
+    """compute_blocked_ids (move_structure_build.cpp:939-1074)."""
+    r = ix.r
+    block_size = BLOCK_SIZE[mode_num]
+    max_allowed = MAX_BLOCKED_ID[mode_num]
+    ids = ix.id_arr.astype(np.int64)
+    c = ix.c_arr.astype(np.int64)
+    first_runs = ix.first_runs.astype(np.int64)
+    while True:
+        nblocks = (r + block_size - 1) // block_size
+        id_blocks = np.zeros((ix.sigma, nblocks), dtype=np.uint32)
+        blocked = np.zeros(r, dtype=np.int64)
+        start_id = np.zeros(ix.sigma, dtype=np.int64)
+        ok = True
+        for b in range(nblocks):
+            id_blocks[:, b] = start_id
+            lo, hi = b * block_size, min((b + 1) * block_size, r)
+            for i in range(lo, hi):
+                if i == ix.end_bwt_idx:
+                    continue
+                adj = ids[i] - first_runs[c[i] + 1]
+                bid = adj - int(id_blocks[c[i], b])
+                if bid > max_allowed:
+                    ok = False
+                    break
+                blocked[i] = bid
+                start_id[c[i]] = adj
+            if not ok:
+                break
+        if ok:
+            return blocked, id_blocks, block_size
+        block_size //= 2
+        max_allowed = (max_allowed + 1) // 2 - 1
+
+
+def _rows_blocked(ix: MoveIndex, mode_num: int):
+    """Blocked 6B rows: id u16 | n u16 | offset u16."""
+    blocked, id_blocks, block_size = _blocked_ids(ix, mode_num)
+    r = ix.r
+    nfield = (ix.n_arr.astype(np.uint32) & 0x3FF) | \
+             (((blocked >> 16) & 0x3F).astype(np.uint32) << 10)
+    ofield = (ix.offset_arr.astype(np.uint32) & 0x3FF) | \
+             (ix.c_arr.astype(np.uint32) << 10)
+    if mode_num == 2:
+        ofield |= ((blocked >> 22) & 0x3).astype(np.uint32) << 14
+    else:  # blocked-thresholds
+        bits = _thr_bits(ix)
+        ofield |= bits[:, 0].astype(np.uint32) << 13
+        ofield |= bits[:, 1].astype(np.uint32) << 14
+        ofield |= bits[:, 2].astype(np.uint32) << 15
+    rows = np.zeros(r, dtype=[("id", "<u2"), ("n", "<u2"), ("off", "<u2")])
+    rows["id"] = (blocked & 0xFFFF).astype(np.uint16)
+    rows["n"] = nfield.astype(np.uint16)
+    rows["off"] = ofield.astype(np.uint16)
+    return rows.tobytes(), id_blocks, block_size
+
+
+def _rows_tally(ix: MoveIndex, with_thr: bool) -> bytes:
+    """Sampled 3B rows: n u8 | offset u8 | c u8."""
+    r = ix.r
+    n = ix.n_arr.astype(np.uint32)
+    off = ix.offset_arr.astype(np.uint32)
+    nfield = (n & 0xFF).astype(np.uint8)
+    ofield = (off & 0xFF).astype(np.uint8)
+    if with_thr:  # mode 7: 1 bit each for n/off high, c at bits 2-4
+        cfield = (((off >> 8) & 1) | (((n >> 8) & 1) << 1) |
+                  (ix.c_arr.astype(np.uint32) << 2)).astype(np.uint32)
+        bits = _thr_bits(ix)
+        cfield |= bits[:, 0].astype(np.uint32) << 5
+        cfield |= bits[:, 1].astype(np.uint32) << 6
+        cfield |= bits[:, 2].astype(np.uint32) << 7
+    else:        # mode 5: 2 bits each, c at bits 4-7
+        cfield = (((off >> 8) & 3) | (((n >> 8) & 3) << 2) |
+                  (ix.c_arr.astype(np.uint32) << 4))
+    rows = np.zeros(r, dtype=[("n", "u1"), ("off", "u1"), ("c", "u1")])
+    rows["n"] = nfield
+    rows["off"] = ofield
+    rows["c"] = cfield.astype(np.uint8)
+    return rows.tobytes()
+
+
+def _tally_table(ix: MoveIndex) -> bytes:
+    """build_move_rows tally logic (move_structure_build.cpp:486-497,
+    571-594, 677-682): per char, per checkpoint, the LF-destination run
+    (pp_id) of the latest run of that char at-or-before the checkpoint;
+    earlier checkpoints backfilled with the first run's pp_id."""
+    r, sigma = ix.r, ix.sigma
+    ckpt = TALLY_CHECKPOINTS
+    nlen = r // ckpt + 2
+    out = bytearray()
+    out += struct.pack("<I", ckpt)
+    out += struct.pack("<Q", nlen)
+    idxs = np.arange(r)
+    c_eff = ix.c_arr.astype(np.int64)
+    c_eff_valid = idxs != ix.end_bwt_idx
+    vals = np.zeros((sigma, nlen), dtype=np.int64)
+    for a in range(sigma):
+        isa = (c_eff == a) & c_eff_valid
+        rows_a = np.flatnonzero(isa)
+        if len(rows_a) == 0:
+            vals[a, :] = r
+            continue
+        pp = ix.id_arr[rows_a]
+        # checkpoints 0..nlen-2 at rows k*ckpt; last entry = final value
+        for k in range(nlen - 1):
+            row = k * ckpt
+            j = np.searchsorted(rows_a, row, side="right") - 1
+            vals[a, k] = pp[j] if j >= 0 else pp[0]
+        vals[a, nlen - 1] = pp[-1]
+    # MoveTally: u32 right + u8 left (5 bytes, packed)
+    for a in range(sigma):
+        arr = np.zeros(nlen, dtype=[("right", "<u4"), ("left", "u1")])
+        arr["right"] = vals[a] & 0xFFFFFFFF
+        arr["left"] = (vals[a] >> 32) & 0xFF
+        out += arr.tobytes()
+    return bytes(out)
+
+
+def _sep_thresholds_bytes(ix: MoveIndex) -> bytes:
+    """ThresholdsRow = uint16_t values[4] (move_structure.hpp:41-43);
+    entries in vector-index order, then the row->index map."""
+    out = bytearray()
+    items = (sorted(ix.sep_row_map.items(), key=lambda kv: kv[1])
+             if ix.sep_row_map else [])
+    out += struct.pack("<Q", len(items))
+    for row, k in items:
+        vals = ix.sep_thresholds[k]
+        out += struct.pack("<HHHH", *(int(v) & 0xFFFF for v in vals))
+    out += struct.pack("<Q", len(items))
+    for row, k in items:
+        out += struct.pack("<QQ", row, k)
+    return bytes(out)
+
+
+def write_movi(ix: MoveIndex, path: str):
+    mode_num, _, use_thr, split_thr = MODE_INFO[ix.mode]
+    with open(path, "wb") as f:
+        f.write(_header_bytes(mode_num, ix))
+        f.write(_basic_bytes(ix))
+        if mode_num in (0, 1, 4):
+            f.write(_rows_movi1(ix))
+        elif mode_num in (3, 6):
+            f.write(_rows_regular(ix, with_thr=(mode_num == 6)))
+        elif mode_num in (2, 8):
+            rows, id_blocks, block_size = _rows_blocked(ix, mode_num)
+            f.write(rows)
+        elif mode_num in (5, 7):
+            f.write(_rows_tally(ix, with_thr=(mode_num == 7)))
+            f.write(_tally_table(ix))
+        else:
+            raise ValueError(f"unsupported mode {ix.mode}")
+        f.write(_overflow_bytes())
+        f.write(_counts_bytes(ix))
+        if mode_num in (2, 8):
+            f.write(struct.pack("<Q", id_blocks.shape[1]))
+            for a in range(ix.sigma):
+                f.write(id_blocks[a].astype("<u4").tobytes())
+            f.write(struct.pack("<Q", block_size))
+        if use_thr and ix.separators:
+            f.write(_sep_thresholds_bytes(ix))
+
+
+# ---------------------------------------------------------------------------
+def read_movi_header(path: str):
+    """Read the header of a reference index.movi file."""
+    with open(path, "rb") as f:
+        hdr = f.read(48)
+    magic, major, minor, patch, mode_num = struct.unpack("<IBBBBxxxxxxxx",
+                                                         hdr[:16])
+    length, r, original_r, end_bwt_idx = struct.unpack("<QQQQ", hdr[16:48])
+    assert magic == MOVI_MAGIC, "not a Movi index"
+    return dict(mode_num=mode_num, version=(major, minor, patch),
+                length=length, r=r, original_r=original_r,
+                end_bwt_idx=end_bwt_idx)
+
+
+def read_movi(path: str) -> MoveIndex:
+    """Deserialize a regular/regular-thresholds/large index.movi into a
+    MoveIndex (SoA).  Used for interop with reference-built indexes."""
+    hdr = read_movi_header(path)
+    mode_num = hdr["mode_num"]
+    mode = {0: "large", 2: "blocked", 3: "regular", 5: "sampled",
+            6: "regular-thresholds", 7: "sampled-thresholds",
+            8: "blocked-thresholds"}[mode_num]
+    use_thr = mode_num in (0, 6, 7, 8)
+    with open(path, "rb") as f:
+        f.seek(48)
+        end_thr = np.frombuffer(f.read(32), dtype="<u8")
+        f.read(64)  # end next down/up
+        (ams,) = struct.unpack("<Q", f.read(8))
+        alphamap = np.frombuffer(f.read(ams * 8), dtype="<u8").astype(np.int64)
+        (als,) = struct.unpack("<Q", f.read(8))
+        alphabet = np.frombuffer(f.read(als), dtype=np.uint8)
+        f.read(3)  # nt_splitting + constant
+        r = hdr["r"]
+        if mode_num in (3, 6):
+            rows = np.frombuffer(
+                f.read(r * 8),
+                dtype=[("id", "<u4"), ("n", "<u2"), ("off", "<u2")])
+            len_bits = 11 if mode_num == 6 else 12
+            mask = (1 << len_bits) - 1
+            n_arr = (rows["n"] & mask).astype(np.int32)
+            offset_arr = (rows["off"] & mask).astype(np.int32)
+            id_arr = rows["id"].astype(np.int64) | \
+                (((rows["off"].astype(np.int64) >> 12) & 0xF) << 32)
+            c_arr = ((rows["n"] >> 13) & 0x7).astype(np.uint8)
+            thr = None
+            if mode_num == 6:
+                b0 = ((rows["off"] >> 11) & 1).astype(np.int64)
+                b1 = ((rows["n"] >> 11) & 1).astype(np.int64)
+                b2 = ((rows["n"] >> 12) & 1).astype(np.int64)
+                n64 = n_arr.astype(np.int64)
+                thr = np.stack([b0 * n64, b1 * n64, b2 * n64],
+                               axis=1).astype(np.int32)
+        elif mode_num in (0,):
+            rows = np.frombuffer(
+                f.read(r * 12),
+                dtype=[("id", "<u4"), ("n", "<u2"), ("off", "<u2"),
+                       ("thr", "<u2"), ("ovf", "u1"), ("ts", "u1")])
+            n_arr = rows["n"].astype(np.int32)
+            offset_arr = rows["off"].astype(np.int32)
+            id_arr = rows["id"].astype(np.int64) | \
+                ((rows["ovf"].astype(np.int64) & 0xF) << 32)
+            c_arr = ((rows["ts"] >> 6) & 0x3).astype(np.uint8)
+            thr = np.zeros((r, 3), dtype=np.int32)
+            n64 = n_arr.astype(np.int64)
+            for slot in range(3):
+                status = (rows["ts"] >> (slot * 2)) & 0x3
+                thr[:, slot] = np.where(
+                    status == 0, 0,
+                    np.where(status == 3, n_arr,
+                             rows["thr"].astype(np.int32)))
+        else:
+            raise NotImplementedError(
+                f"read_movi for mode {mode} not supported yet")
+        f.read(24)  # overflow tables (sizes 0)
+        (cs,) = struct.unpack("<Q", f.read(8))
+        counts = np.frombuffer(f.read(cs * 8), dtype="<u8").astype(np.int64)
+        (ls,) = struct.unpack("<Q", f.read(8))
+        last_runs = np.frombuffer(f.read(ls * 8), dtype="<u8").astype(np.int64)
+        last_offsets = np.frombuffer(f.read(ls * 8), dtype="<u8").astype(np.int64)
+        first_runs = np.frombuffer(f.read(ls * 8), dtype="<u8").astype(np.int64)
+        first_offsets = np.frombuffer(f.read(ls * 8), dtype="<u8").astype(np.int64)
+
+    all_p = np.concatenate([[0], np.cumsum(n_arr.astype(np.int64))])
+    return MoveIndex(
+        mode=mode, length=hdr["length"], r=r,
+        original_r=hdr["original_r"], end_bwt_idx=hdr["end_bwt_idx"],
+        alphabet=alphabet, alphamap=alphamap, counts=counts,
+        n_arr=n_arr, offset_arr=offset_arr, id_arr=id_arr, c_arr=c_arr,
+        all_p=all_p, thr=thr,
+        end_bwt_idx_thresholds=end_thr.astype(np.int64),
+        first_runs=first_runs, first_offsets=first_offsets,
+        last_runs=last_runs, last_offsets=last_offsets,
+    )

@@ -397,10 +397,16 @@ def _compute_row_thresholds(runs, bounds, all_p, n_arr, c_arr, orig_of,
 
     is_sep_row = (c_eff == sep_index) if separators else np.zeros(r, bool)
     if separators:
-        is_sep_row &= idxs != end_bwt_idx
-        for i in np.flatnonzero(is_sep_row):
+        # The reference pushes a separators_thresholds entry for every row
+        # whose *stored* c is the separator index -- including the '$' row
+        # (set_c masking quirk), whose values remain zero because
+        # set_threshold_for_one_character diverts them to
+        # end_bwt_idx_thresholds (move_structure_build.cpp:776-783,828-831).
+        # Entries are pushed while scanning rows in DESCENDING order.
+        for i in np.flatnonzero(is_sep_row)[::-1]:
             sep_row_map[int(i)] = len(sep_list)
             sep_list.append(np.zeros(4, dtype=np.int64))
+        is_sep_row &= idxs != end_bwt_idx
 
     for j in range(sigma):
         vals = thr_abs[j]

@@ -1,0 +1,87 @@
+"""Reference index.movi serialization: exact byte-size parity with
+tests/test_build.cpp golden sizes, and read/write round trip."""
+
+import os
+
+import numpy as np
+import pytest
+
+from conftest import REF_DATA, requires_ref_data
+
+from movi_tpu.cpu_ref.scalar import ScalarEngine
+from movi_tpu.index.movi_format import read_movi, read_movi_header, write_movi
+from movi_tpu.index.structure import build_move_index
+
+GOLDEN_SIZES = {
+    "regular": 871479,
+    "regular-thresholds": 948119,
+    "sampled": 437006,
+    "sampled-thresholds": 475326,
+    "blocked": 654253,
+    "blocked-thresholds": 711733,
+    "large": 1305995,
+}
+
+GOLDEN_SIZES_SEP = {
+    "regular": 871496,
+    "regular-thresholds": 948232,
+    "sampled": 464203,
+    "sampled-thresholds": 505009,
+    "blocked": 654280,
+    "blocked-thresholds": 711854,
+}
+
+
+@requires_ref_data
+@pytest.mark.parametrize("mode", sorted(GOLDEN_SIZES))
+def test_movi_file_size_matches_reference(bwt_runs, tmp_path, mode):
+    ix = build_move_index(bwt_runs, mode)
+    p = str(tmp_path / "index.movi")
+    write_movi(ix, p)
+    assert os.path.getsize(p) == GOLDEN_SIZES[mode], mode
+
+
+@requires_ref_data
+@pytest.mark.parametrize("mode", sorted(GOLDEN_SIZES_SEP))
+def test_movi_file_size_with_separators(tmp_path, mode):
+    from movi_tpu.build.prepare_ref import prepare_ref
+    from movi_tpu.build.suffix import build_bwt_runs
+
+    ref = prepare_ref(os.path.join(REF_DATA, "ref.fasta"), separators=True)
+    runs = build_bwt_runs(ref.text)
+    ix = build_move_index(runs, mode, separators=True)
+    p = str(tmp_path / "index.movi")
+    write_movi(ix, p)
+    assert os.path.getsize(p) == GOLDEN_SIZES_SEP[mode], mode
+
+
+@requires_ref_data
+def test_movi_roundtrip_regular_thresholds(bwt_runs, sample_reads, tmp_path):
+    ix = build_move_index(bwt_runs, "regular-thresholds")
+    p = str(tmp_path / "index.movi")
+    write_movi(ix, p)
+    hdr = read_movi_header(p)
+    assert hdr["mode_num"] == 6
+    assert hdr["r"] == ix.r
+    ix2 = read_movi(p)
+    np.testing.assert_array_equal(ix2.n_arr, ix.n_arr)
+    np.testing.assert_array_equal(ix2.offset_arr, ix.offset_arr)
+    np.testing.assert_array_equal(ix2.id_arr, ix.id_arr)
+    np.testing.assert_array_equal(ix2.c_arr, ix.c_arr)
+    np.testing.assert_array_equal(ix2.thr, ix.thr)
+    # PML equality through the round-tripped index
+    e1, e2 = ScalarEngine(ix), ScalarEngine(ix2)
+    for name, seq in sample_reads[:5]:
+        assert e1.query_pml(seq) == e2.query_pml(seq), name
+
+
+@requires_ref_data
+def test_movi_roundtrip_large(bwt_runs, sample_reads, tmp_path):
+    ix = build_move_index(bwt_runs, "large")
+    p = str(tmp_path / "index.movi")
+    write_movi(ix, p)
+    ix2 = read_movi(p)
+    np.testing.assert_array_equal(ix2.thr, ix.thr)
+    e1, e2 = ScalarEngine(ix), ScalarEngine(ix2)
+    for name, seq in sample_reads[:3]:
+        assert e1.query_pml(seq) == e2.query_pml(seq), name

@@ -50,7 +50,8 @@ def _header_bytes(mode_num: int, ix: MoveIndex) -> bytes:
     return h
 
 
-def _basic_bytes(ix: MoveIndex) -> bytes:
+def _basic_bytes(ix: MoveIndex, nt_splitting: int = 0,
+                 constant: int = 0) -> bytes:
     out = bytearray()
     end_thr = np.zeros(4, dtype="<u8")
     for j in range(min(4, len(ix.end_bwt_idx_thresholds))):
@@ -62,8 +63,8 @@ def _basic_bytes(ix: MoveIndex) -> bytes:
     out += ix.alphamap.astype("<u8").tobytes()
     out += struct.pack("<Q", ix.sigma)
     out += ix.alphabet.tobytes()
-    out += struct.pack("<H", 0)   # nt_splitting
-    out += struct.pack("<B", 0)   # constant
+    out += struct.pack("<H", nt_splitting)
+    out += struct.pack("<B", constant)
     return bytes(out)
 
 
@@ -83,12 +84,48 @@ def _counts_bytes(ix: MoveIndex) -> bytes:
     return bytes(out)
 
 
-def _rows_movi1(ix: MoveIndex) -> bytes:
+def _next_pointer_fields(ix: MoveIndex):
+    """Constant-mode next_up/next_down u16 deltas per threshold slot
+    (compute_nexts, move_structure_build.cpp:1080-1118)."""
+    from ..constants import ALPHAMAP_3
+
+    r, sigma = ix.r, ix.sigma
+    nu, nd = ix.next_tables()
+    ups = np.full((r, 3), 0xFFFF, dtype=np.uint16)
+    downs = np.full((r, 3), 0xFFFF, dtype=np.uint16)
+    idxs = np.arange(r)
+    c_eff = ix.c_arr.astype(np.int64)
+    for j in range(sigma):
+        up = np.full(r, r, dtype=np.int64)
+        dn = np.full(r, r, dtype=np.int64)
+        up[1:] = nu[j, :-1]
+        dn[:-1] = nd[j, 1:]
+        slot = ALPHAMAP_3[c_eff, j]
+        store = (slot < 3) & (idxs != ix.end_bwt_idx)
+        du = np.where(up < r, idxs - up, 0xFFFF)
+        dd = np.where(dn < r, dn - idxs, 0xFFFF)
+        for s in range(3):
+            m = store & (slot == s)
+            ups[m, s] = np.minimum(du[m], 0xFFFF).astype(np.uint16)
+            downs[m, s] = np.minimum(dd[m], 0xFFFF).astype(np.uint16)
+    return ups, downs
+
+
+def _rows_movi1(ix: MoveIndex, constant: bool = False) -> bytes:
     """Large/split 12B rows: id u32 | n u16 | offset u16 | threshold u16 |
-    overflow_bits u8 | thresholds_status u8."""
+    overflow_bits u8 | thresholds_status u8.  Constant rows append
+    next_up[3] + next_down[3] u16 (24B total)."""
     r = ix.r
-    rows = np.zeros(r, dtype=[("id", "<u4"), ("n", "<u2"), ("off", "<u2"),
-                              ("thr", "<u2"), ("ovf", "u1"), ("ts", "u1")])
+    if constant:
+        rows = np.zeros(r, dtype=[("id", "<u4"), ("n", "<u2"), ("off", "<u2"),
+                                  ("thr", "<u2"), ("ovf", "u1"), ("ts", "u1"),
+                                  ("nup", "<u2", (3,)), ("ndown", "<u2", (3,))])
+        ups, downs = _next_pointer_fields(ix)
+        rows["nup"] = ups
+        rows["ndown"] = downs
+    else:
+        rows = np.zeros(r, dtype=[("id", "<u4"), ("n", "<u2"), ("off", "<u2"),
+                                  ("thr", "<u2"), ("ovf", "u1"), ("ts", "u1")])
     rows["id"] = ix.id_arr & 0xFFFFFFFF
     rows["n"] = ix.n_arr
     rows["off"] = ix.offset_arr
@@ -270,9 +307,10 @@ def write_movi(ix: MoveIndex, path: str):
     mode_num, _, use_thr, split_thr = MODE_INFO[ix.mode]
     with open(path, "wb") as f:
         f.write(_header_bytes(mode_num, ix))
-        f.write(_basic_bytes(ix))
+        f.write(_basic_bytes(ix, nt_splitting=1 if mode_num in (1, 4) else 0,
+                             constant=1 if mode_num == 1 else 0))
         if mode_num in (0, 1, 4):
-            f.write(_rows_movi1(ix))
+            f.write(_rows_movi1(ix, constant=(mode_num == 1)))
         elif mode_num in (3, 6):
             f.write(_rows_regular(ix, with_thr=(mode_num == 6)))
         elif mode_num in (2, 8):

@@ -49,9 +49,21 @@ def cmd_build(args):
          f"({time.time()-t0:.1f}s)")
 
     t0 = time.time()
+    from .constants import MODE_INFO
+
+    bound_ff = args.bound_ff
+    if bound_ff is None and MODE_INFO[args.type][2] and not args.movi_format:
+        # NT splitting enables the fused single-gather engine (~3% rows)
+        bound_ff = 1
     ix = build_move_index(runs, args.type, separators=args.separators,
-                          bound_ff=args.bound_ff)
+                          bound_ff=bound_ff)
     _log(f"move index: r={ix.r} mode={args.type} ({time.time()-t0:.1f}s)")
+
+    if args.movi_format:
+        from .index.movi_format import write_movi
+
+        write_movi(ix, os.path.join(args.index, "index.movi"))
+        _log("wrote reference-format index.movi")
 
     eng = ScalarEngine(ix)
     if args.verify:
@@ -199,17 +211,41 @@ def cmd_query(args):
 
         if args.platform:
             jax.config.update("jax_platforms", args.platform)
-        from .engine.device_index import build_device_index
-        from .engine.pml import PMLEngine
-        from .engine.search import CountEngine, ZMLEngine
 
-        di = build_device_index(ix)
-        if qt == "pml":
-            eng = PMLEngine(di, random_repositioning=ix.thr is None)
-        elif qt == "zml":
-            eng = ZMLEngine(di)
-        else:
-            eng = CountEngine(di)
+        # fused engines apply when the index satisfies the bounded
+        # fast-forward invariant (built with bound_ff=1)
+        lf_abs = ix.all_p[ix.id_arr] + ix.offset_arr
+        e = lf_abs + ix.n_arr - 1
+        id_end = np.searchsorted(ix.all_p[:-1], e, side="right") - 1
+        bounded = int((id_end - ix.id_arr).max()) <= 1
+
+        eng = None
+        if qt == "pml" and ix.thr is not None and bounded:
+            from .engine.fused import FusedPMLEngine, build_fused_index
+
+            eng = FusedPMLEngine(build_fused_index(ix))
+            _log("using the fused single-gather engine")
+        elif qt in ("count", "zml") and bounded:
+            from .engine.fused_search import (FusedCountEngine,
+                                              FusedZMLEngine,
+                                              build_fused_search_index)
+
+            si = build_fused_search_index(ix)
+            eng = (FusedCountEngine(si) if qt == "count"
+                   else FusedZMLEngine(si))
+            _log("using the fused search engine")
+        if eng is None:
+            from .engine.device_index import build_device_index
+            from .engine.pml import PMLEngine
+            from .engine.search import CountEngine, ZMLEngine
+
+            di = build_device_index(ix)
+            if qt == "pml":
+                eng = PMLEngine(di, random_repositioning=ix.thr is None)
+            elif qt == "zml":
+                eng = ZMLEngine(di)
+            else:
+                eng = CountEngine(di)
         for batch in make_batches(reads, lanes=args.lanes):
             out = eng.query_batch(batch)
             results.extend(zip(batch.names, out))
@@ -354,6 +390,9 @@ def main(argv=None):
     b.add_argument("--sa-sample-rate", type=int, default=100)
     b.add_argument("--color", action="store_true")
     b.add_argument("--compress-colors", action="store_true")
+    b.add_argument("--movi-format", action="store_true",
+                   help="also write a reference-compatible index.movi "
+                        "(disables NT splitting for size parity)")
     b.set_defaults(func=cmd_build)
 
     q = sub.add_parser("query")

@@ -1,0 +1,228 @@
+"""Fused backward-search engines: count and ZML at 2 gathers per base.
+
+The compact engines (engine/search.py) spend ~6+ gathers per step
+(char checks, nearest-run tables, two searchsorted LF resolutions).
+Since TPU gathers cost per-row (engine/fused.py), both interval ends
+fold into one 16-byte record gather each:
+
+  rec_down[i, a] (for the interval start): the first run >= i whose
+      get_char() == a, together with that run's LF data and the bounded
+      fast-forward cum (requires a bound_ff=1 index):
+        g0: dest run
+        g1: id (LF destination base run of dest)
+        g2: cum1 | lf_off<<16
+        g3: n[dest]
+  rec_up[i, a]: same for the last run <= i.
+
+A step = gather rec_down at (run_start, a), rec_up at (run_end, a),
+then pure VPU math (update_interval + 2x LF_move + fast_forward,
+move_structure_search.cpp:295-333).  Bit-exact vs ScalarEngine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..index.structure import MoveIndex
+from ..io.fastx import ReadBatch
+
+_GUARD = 0xFFFF
+
+
+@dataclass
+class FusedSearchIndex:
+    r: int
+    sigma: int
+    rec_down: jax.Array   # int32 [r*sigma, 4]
+    rec_up: jax.Array     # int32 [r*sigma, 4]
+    first_runs: jax.Array
+    first_offsets: jax.Array
+    last_runs: jax.Array
+    last_offsets: jax.Array
+    all_p: jax.Array      # int32 [r+1] (for final interval counts)
+    alphamap_query: np.ndarray
+
+
+jax.tree_util.register_dataclass(
+    FusedSearchIndex,
+    data_fields=["rec_down", "rec_up", "first_runs", "first_offsets",
+                 "last_runs", "last_offsets", "all_p", "alphamap_query"],
+    meta_fields=["r", "sigma"],
+)
+
+
+def build_fused_search_index(ix: MoveIndex) -> FusedSearchIndex:
+    r, sigma = ix.r, ix.sigma
+    n64 = ix.n_arr.astype(np.int64)
+    lf_abs = ix.all_p[ix.id_arr] + ix.offset_arr.astype(np.int64)
+    e = lf_abs + n64 - 1
+    id_end = np.searchsorted(ix.all_p[:-1], e, side="right") - 1
+    assert int(np.max(id_end - ix.id_arr)) <= 1, (
+        "fused search requires an index built with bound_ff=1")
+
+    nus, nds = ix.next_tables_search()  # inclusive; '$' matches nothing
+
+    def records(dest_tab):
+        rec = np.zeros((sigma, r, 4), dtype=np.int64)
+        for a in range(sigma):
+            dest = dest_tab[a].astype(np.int64)
+            ok = dest < r
+            d = np.where(ok, dest, 0)
+            idd = ix.id_arr[d]
+            cum1 = np.where(idd < r - 1, n64[idd], _GUARD)
+            rec[a, :, 0] = np.where(ok, dest, r)
+            rec[a, :, 1] = idd
+            rec[a, :, 2] = cum1 | (ix.offset_arr[d].astype(np.int64) << 16)
+            rec[a, :, 3] = n64[d]
+        return jnp.asarray(rec.reshape(sigma * r, 4).astype(np.int32))
+
+    alphamap_query = np.full(256, -1, dtype=np.int32)
+    for a, ch in enumerate(ix.alphabet):
+        alphamap_query[ch] = a
+    from ..constants import SEPARATOR
+    if ix.separators:
+        alphamap_query[SEPARATOR] = -1
+
+    return FusedSearchIndex(
+        r=r, sigma=sigma,
+        rec_down=records(nds), rec_up=records(nus),
+        first_runs=jnp.asarray(ix.first_runs.astype(np.int32)),
+        first_offsets=jnp.asarray(ix.first_offsets.astype(np.int32)),
+        last_runs=jnp.asarray(ix.last_runs.astype(np.int32)),
+        last_offsets=jnp.asarray(ix.last_offsets.astype(np.int32)),
+        all_p=jnp.asarray(ix.all_p.astype(np.int32)),
+        alphamap_query=alphamap_query,
+    )
+
+
+def _lf_from_rec(rec, offset):
+    """LF + bounded ff from a search record and an in-dest offset."""
+    f2 = rec[:, 2]
+    off0 = (f2 >> 16) + offset
+    cum1 = f2 & 0xFFFF
+    ff = (off0 >= cum1).astype(jnp.int32)
+    return rec[:, 1] + ff, off0 - ff * cum1
+
+
+def fused_bs_step(si: FusedSearchIndex, rs, os_, re, oe, a):
+    """backward_search_step: returns (rs', os', re', oe', empty)."""
+    r = si.r
+    a_s = jnp.maximum(a, 0)
+    rd = jnp.take(si.rec_down, a_s * r + jnp.minimum(rs, r - 1), axis=0)
+    ru = jnp.take(si.rec_up, a_s * r + jnp.minimum(re, r - 1), axis=0)
+    drs = rd[:, 0]
+    dre = ru[:, 0]
+    empty = (a < 0) | (drs >= r) | (drs > re)
+    os1 = jnp.where(drs != rs, 0, os_)
+    oe1 = jnp.where(dre != re, ru[:, 3] - 1, oe)
+    nrs, nos = _lf_from_rec(rd, os1)
+    nre, noe = _lf_from_rec(ru, oe1)
+    return nrs, nos, nre, noe, empty
+
+
+def _init_interval(si: FusedSearchIndex, a):
+    a1 = jnp.maximum(a, 0) + 1
+    return (jnp.take(si.first_runs, a1, axis=0),
+            jnp.take(si.first_offsets, a1, axis=0),
+            jnp.take(si.last_runs, a1, axis=0),
+            jnp.take(si.last_offsets, a1, axis=0))
+
+
+@jax.jit
+def fused_count_scan(si: FusedSearchIndex, alphas_t: jax.Array):
+    """Count query (query_backward_search).  alphas_t: [W, lanes],
+    -1 = illegal, -2 = beyond read.  Returns (matched, count)."""
+    a0 = alphas_t[0]
+    legal0 = a0 >= 0
+    rs, os_, re, oe = _init_interval(si, a0)
+    state = dict(rs=rs, os=os_, re=re, oe=oe, done=~legal0,
+                 matched=jnp.where(legal0, 1, 0).astype(jnp.int32),
+                 prs=rs, pos_=os_, pre=re, poe=oe)
+
+    def body(state, a):
+        alive = ~state["done"]
+        nrs, nos, nre, noe, empty = fused_bs_step(
+            si, state["rs"], state["os"], state["re"], state["oe"], a)
+        ok = alive & ~empty
+        new = dict(state)
+        for k, v in (("rs", nrs), ("os", nos), ("re", nre), ("oe", noe)):
+            new[k] = jnp.where(ok, v, state[k])
+            new["p" + k if k != "os" else "pos_"] = jnp.where(
+                ok, v, state["p" + k if k != "os" else "pos_"])
+        new["matched"] = state["matched"] + ok.astype(jnp.int32)
+        new["done"] = state["done"] | (alive & empty)
+        return new, None
+
+    state, _ = jax.lax.scan(body, state, alphas_t[1:])
+    abs_s = jnp.take(si.all_p, state["prs"], axis=0) + state["pos_"]
+    abs_e = jnp.take(si.all_p, state["pre"], axis=0) + state["poe"]
+    started = state["matched"] > 0
+    return state["matched"], jnp.where(started, abs_e - abs_s + 1, 0)
+
+
+@jax.jit
+def fused_zml_scan(si: FusedSearchIndex, alphas_t: jax.Array):
+    """ZML (query_zml recurrence, see engine/search.py)."""
+    W, lanes = alphas_t.shape
+    a0 = alphas_t[0]
+    legal0 = a0 >= 0
+    rs, os_, re, oe = _init_interval(si, a0)
+    state = dict(rs=rs, os=os_, re=re, oe=oe, have=legal0,
+                 ml=jnp.zeros((lanes,), jnp.int32))
+
+    def body(state, a_next):
+        emit = jnp.where(state["have"], state["ml"], 0)
+        nrs, nos, nre, noe, empty = fused_bs_step(
+            si, state["rs"], state["os"], state["re"], state["oe"], a_next)
+        ext_ok = state["have"] & ~empty
+        irs, ios, ire, ioe = _init_interval(si, a_next)
+        legal = a_next >= 0
+        new = dict(
+            rs=jnp.where(ext_ok, nrs, irs),
+            os=jnp.where(ext_ok, nos, ios),
+            re=jnp.where(ext_ok, nre, ire),
+            oe=jnp.where(ext_ok, noe, ioe),
+            have=ext_ok | (~ext_ok & legal),
+            ml=jnp.where(ext_ok, state["ml"] + 1, 0),
+        )
+        return new, emit
+
+    state, emits = jax.lax.scan(body, state, alphas_t[1:])
+    last = jnp.where(state["have"], state["ml"], 0)
+    return jnp.concatenate([emits, last[None, :]], axis=0)
+
+
+class FusedCountEngine:
+    def __init__(self, si: FusedSearchIndex):
+        self.si = si
+
+    def query_batch(self, batch: ReadBatch) -> List[Tuple[int, int]]:
+        seqs_rev = batch.seqs[:, ::-1]
+        alphas = self.si.alphamap_query[seqs_rev].astype(np.int32)
+        W = batch.width
+        t_idx = np.arange(W)[None, :]
+        alphas = np.where(t_idx >= batch.lengths[:, None], -2, alphas)
+        matched, count = fused_count_scan(self.si, jnp.asarray(alphas.T))
+        matched = np.asarray(matched)
+        count = np.asarray(count)
+        return [(int(batch.lengths[i]) - int(matched[i]), int(count[i]))
+                for i in range(batch.lanes)]
+
+
+class FusedZMLEngine:
+    def __init__(self, si: FusedSearchIndex):
+        self.si = si
+
+    def query_batch(self, batch: ReadBatch) -> List[List[int]]:
+        seqs_rev = batch.seqs[:, ::-1]
+        alphas = self.si.alphamap_query[seqs_rev].astype(np.int32)
+        ml = np.asarray(fused_zml_scan(self.si, jnp.asarray(alphas.T)))
+        return [ml[: int(batch.lengths[i]), i].tolist()
+                for i in range(batch.lanes)]

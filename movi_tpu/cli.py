@@ -103,6 +103,8 @@ def cmd_build(args):
         _log(f"ftab (k={args.ftab_k}) written")
 
     if not args.skip_null:
+        # PML and ZML null statistics, like the reference build
+        # (movi.cpp:621-634)
         records = []
         for p in (fasta_paths if isinstance(fasta_paths, list) else [fasta_paths]):
             records.extend(iter_fasta(p))
@@ -111,7 +113,10 @@ def cmd_build(args):
             ix, lambda s: eng.query_pml(s, random_repositioning=random_rep),
             records, seed=args.seed)
         db.save(os.path.join(args.index, "movi.pml.nulldb"))
-        _log(f"null statistics: percentile={db.percentile_value}")
+        _log(f"pml null statistics: percentile={db.percentile_value}")
+        dbz = build_nulldb_pml(ix, eng.query_zml, records, seed=args.seed)
+        dbz.save(os.path.join(args.index, "movi.zml.nulldb"))
+        _log(f"zml null statistics: percentile={dbz.percentile_value}")
     _log("build done")
 
 
@@ -330,11 +335,31 @@ def cmd_query(args):
 
 
 def cmd_view(args):
+    """BPF pretty-printer + optional re-classification (movi.cpp:402-503)."""
     from .io.outputs import read_bpf
 
+    classifier = None
+    report_lines = []
+    if args.classify:
+        from .classify import (Classifier, EmpNullDatabase,
+                               format_report_header, format_report_line)
+
+        db = EmpNullDatabase.load(args.nulldb)
+        classifier = Classifier(db, bin_width=args.bin_width)
+        report_lines.append(format_report_header(classifier.max_value_thr))
+
     for name, vals in read_bpf(args.mls_file):
-        print(f">{name}")
-        print(" ".join(str(v) for v in reversed(vals)) + " ")
+        if classifier:
+            from .classify import format_report_line
+
+            found, avg, above, below = classifier.classify(vals)
+            report_lines.append(
+                format_report_line(name, found, avg, above, below))
+        else:
+            print(f">{name}")
+            print(" ".join(str(v) for v in reversed(vals)) + " ")
+    for ln in report_lines:
+        print(ln)
 
 
 def cmd_inspect(args):
@@ -426,6 +451,9 @@ def main(argv=None):
 
     v = sub.add_parser("view")
     v.add_argument("--mls-file", required=True)
+    v.add_argument("--classify", action="store_true")
+    v.add_argument("--nulldb", default="")
+    v.add_argument("--bin-width", type=int, default=150)
     v.set_defaults(func=cmd_view)
 
     ins = sub.add_parser("inspect")

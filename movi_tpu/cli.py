@@ -88,6 +88,10 @@ def cmd_build(args):
         ct = build_color_table(ix, runs.sa, di)
         if args.compress_colors:
             ct = compress_color_table(ct)
+        if args.tree_compress_colors:
+            from .lca import tree_compress_color_table
+
+            ct = tree_compress_color_table(ct, ix.r)
         ct.save(os.path.join(args.index, "colors.npz"))
         _log(f"colors: {len(ct.unique_doc_sets)} unique doc sets over "
              f"{di.num_docs} documents")
@@ -162,6 +166,10 @@ def cmd_query(args):
         for name, seq in reads:
             _, cell = eng.query_pml_multiclass(seq)
             lines.append(f"{name},{cell}")
+        if args.lca_tree:
+            from .lca import lca_postprocess, load_nodes_dmp
+
+            lines = lca_postprocess(lines, load_nodes_dmp(args.lca_tree))
         if args.stdout:
             for ln in lines:
                 print(ln)
@@ -415,6 +423,7 @@ def main(argv=None):
     b.add_argument("--sa-sample-rate", type=int, default=100)
     b.add_argument("--color", action="store_true")
     b.add_argument("--compress-colors", action="store_true")
+    b.add_argument("--tree-compress-colors", action="store_true")
     b.add_argument("--movi-format", action="store_true",
                    help="also write a reference-compatible index.movi "
                         "(disables NT splitting for size parity)")
@@ -436,6 +445,8 @@ def main(argv=None):
     q.add_argument("--multi-classify", action="store_true")
     q.add_argument("--min-match-len", type=int, default=0)
     q.add_argument("--pvalue-scoring", action="store_true")
+    q.add_argument("--lca-tree", default="",
+                   help="nodes.dmp for LCA post-processing of multi-class calls")
     q.add_argument("--filter", action="store_true")
     q.add_argument("--invert", action="store_true")
     q.add_argument("--stdout", action="store_true")

@@ -154,6 +154,9 @@ def cmd_query(args):
     if args.reverse:
         reads = [(n, s[::-1]) for n, s in reads]
 
+    if args.sa_entries:
+        args.no_jax = True  # SA entries run on the scalar path for now
+
     if args.multi_classify:
         from .color import ColorEngine, ColorTable
 
@@ -266,15 +269,30 @@ def cmd_query(args):
         from .cpu_ref.scalar import ScalarEngine
 
         eng = ScalarEngine(ix)
+        sa_results = []
         for name, seq in reads:
             if qt == "pml":
-                results.append(
-                    (name, eng.query_pml(seq,
-                                         random_repositioning=ix.thr is None)))
+                if args.sa_entries:
+                    pmls, sas = eng.query_pml(
+                        seq, random_repositioning=ix.thr is None,
+                        collect_sa=True)
+                    results.append((name, pmls))
+                    sa_results.append((name, sas))
+                else:
+                    results.append(
+                        (name, eng.query_pml(
+                            seq, random_repositioning=ix.thr is None)))
             elif qt == "zml":
                 results.append((name, eng.query_zml(seq)))
             else:
                 results.append((name, eng.query_count(seq)))
+        if args.sa_entries and sa_results:
+            out_sa = (args.out_file or f"{args.read}.{ix.mode}") + \
+                f".{qt}.sa_entries.bpf"
+            with BPFWriter(out_sa, entry_size=64) as w:
+                for name, sas in sa_results:
+                    w.write_read(name, sas)
+            _log(f"wrote {out_sa}")
 
     # classification
     classifier = None
@@ -451,6 +469,8 @@ def main(argv=None):
     q.add_argument("--invert", action="store_true")
     q.add_argument("--stdout", action="store_true")
     q.add_argument("--reverse", action="store_true")
+    q.add_argument("--sa-entries", action="store_true",
+                   help="emit SA entries per base (scalar engine path)")
     q.add_argument("--no-jax", action="store_true",
                    help="use the scalar CPU reference engine")
     q.add_argument("--platform", default=None,

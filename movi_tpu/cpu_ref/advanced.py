@@ -40,12 +40,24 @@ class BiInterval:
 class AdvancedEngine(ScalarEngine):
     """ScalarEngine + ftab/bidirectional/MEM/kmer capabilities."""
 
-    def __init__(self, index: MoveIndex, ftab_k: int = 0):
+    def __init__(self, index: MoveIndex, ftab_k: int = 0,
+                 multi_ftab: bool = False):
         super().__init__(index)
         self.ftab_k = ftab_k
         self.ftab: Optional[np.ndarray] = None
+        self.multi_ftab = multi_ftab
+        self.ftabs: dict = {}
         if ftab_k > 1:
-            self.build_ftab(ftab_k)
+            if multi_ftab:
+                # --multi-ftab: build every even step down to 2
+                # (movi.cpp:152-160, move_structure_search.cpp:265-272)
+                for k in range(2, ftab_k + 1):
+                    self.build_ftab(k)
+                    self.ftabs[k] = self.ftab
+                self.ftab = self.ftabs[ftab_k]
+                self.ftab_k = ftab_k
+            else:
+                self.build_ftab(ftab_k)
 
     # ------------------------------------------------------------ ftab
     def kmer_to_number(self, seq: bytes, pos: int, k: int,
@@ -122,10 +134,22 @@ class AdvancedEngine(ScalarEngine):
 
     def init_search(self, seq: bytes, pos_on_r: int, rc: bool = False
                     ) -> Tuple[tuple, int, int]:
-        """initialize_backward_search with optional ftab
+        """initialize_backward_search with optional (multi-)ftab
         (move_structure_search.cpp:261-293).
         Returns (interval, new_pos_on_r, match_len)."""
-        if self.ftab_k > 1:
+        if self.multi_ftab and self.ftab_k > 1:
+            # fall back through smaller ftabs in steps of 2
+            k = self.ftab_k
+            while k > 1 and pos_on_r >= k - 1:
+                saved = self.ftab, self.ftab_k
+                self.ftab, self.ftab_k = self.ftabs.get(k), k
+                iv = (self.try_ftab(seq, pos_on_r, k, rc=rc)
+                      if self.ftab is not None else None)
+                self.ftab, self.ftab_k = saved
+                if iv is not None:
+                    return iv, pos_on_r - k + 1, k - 1
+                k -= 2
+        elif self.ftab_k > 1:
             iv = self.try_ftab(seq, pos_on_r, self.ftab_k, rc=rc)
             if iv is not None:
                 return iv, pos_on_r - self.ftab_k + 1, self.ftab_k - 1

@@ -332,6 +332,34 @@ def write_movi(ix: MoveIndex, path: str):
             f.write(_sep_thresholds_bytes(ix))
 
 
+def write_movi_colored(ix: MoveIndex, doc_set_inds: np.ndarray, path: str,
+                       compressed: bool = False):
+    """index_colored.movi: regular(-thresholds) rows with an embedded
+    color_id u32 (MoveRowColored, add_colors_to_rlbwt
+    move_structure_color.cpp:352-374).  Row = id u32 | color_id u32 |
+    n u16 | offset u16 (12 B)."""
+    mode_num, _, _, _ = MODE_INFO[ix.mode]
+    assert mode_num in (3, 6), "colored rows exist for regular modes only"
+    color = doc_set_inds.astype(np.int64)
+    if compressed:
+        color = np.where(color >= (1 << 16), 0xFFFF, color)
+    base = _rows_regular(ix, with_thr=(mode_num == 6))
+    rows8 = np.frombuffer(base, dtype=[("id", "<u4"), ("n", "<u2"),
+                                       ("off", "<u2")])
+    rows = np.zeros(ix.r, dtype=[("id", "<u4"), ("color", "<u4"),
+                                 ("n", "<u2"), ("off", "<u2")])
+    rows["id"] = rows8["id"]
+    rows["color"] = (color & 0xFFFFFFFF).astype(np.uint32)
+    rows["n"] = rows8["n"]
+    rows["off"] = rows8["off"]
+    with open(path, "wb") as f:
+        f.write(_header_bytes(mode_num, ix))
+        f.write(_basic_bytes(ix))
+        f.write(rows.tobytes())
+        f.write(_overflow_bytes())
+        f.write(_counts_bytes(ix))
+
+
 # ---------------------------------------------------------------------------
 def read_movi_header(path: str):
     """Read the header of a reference index.movi file."""

@@ -125,9 +125,19 @@ def cmd_build(args):
 
 
 def _load_index(index_dir):
+    """Load index.npz (native) or a reference-built index.movi, like the
+    launcher's header-byte dispatch (movi_launcher.cpp:408-434)."""
     from .index.structure import MoveIndex
 
-    return MoveIndex.load(os.path.join(index_dir, "index.npz"))
+    npz = os.path.join(index_dir, "index.npz")
+    if os.path.exists(npz):
+        return MoveIndex.load(npz)
+    movi = os.path.join(index_dir, "index.movi")
+    if os.path.exists(movi):
+        from .index.movi_format import read_movi
+
+        return read_movi(movi)
+    raise SystemExit(f"no index found in {index_dir}")
 
 
 def _query_type(args):
@@ -403,6 +413,44 @@ def cmd_inspect(args):
               f"{ix.last_runs[i]}:{ix.last_offsets[i]}")
 
 
+def cmd_lf(args):
+    """LF micro-benchmarks (move_structure_query.cpp:3-101)."""
+    import time as _t
+
+    from .cpu_ref.scalar import ScalarEngine
+
+    ix = _load_index(args.index)
+    eng = ScalarEngine(ix)
+    n = ix.length
+    t0 = _t.time()
+    if args.lf_type == "reconstruct":
+        idx, off, steps = ix.end_bwt_idx, 0, 0
+        while True:
+            off, idx, _ = eng.lf_move(off, idx)
+            steps += 1
+            if idx == ix.end_bwt_idx:
+                break
+        _log(f"reconstruct: {steps} LF steps")
+    elif args.lf_type == "sequential":
+        total = 0
+        for i in range(ix.r):
+            for j in range(int(ix.n_arr[i])):
+                _, _, ff = eng.lf_move(j, i)
+                total += ff
+        _log(f"sequential: {n} LF steps, total ff {total}")
+    else:  # random
+        rng = np.random.default_rng(args.seed)
+        order = rng.permutation(n)[: min(n, args.limit)]
+        import numpy as _np
+
+        for p in order:
+            i = int(_np.searchsorted(ix.all_p[:-1], p, side="right")) - 1
+            eng.lf_move(int(p) - int(ix.all_p[i]), i)
+        _log(f"random: {len(order)} LF steps")
+    dt = _t.time() - t0
+    _log(f"LF {args.lf_type}: {dt:.2f}s")
+
+
 def cmd_null(args):
     from .build.prepare_ref import iter_fasta
     from .classify import build_nulldb_pml
@@ -490,6 +538,14 @@ def main(argv=None):
     ins = sub.add_parser("inspect")
     ins.add_argument("--index", "-i", required=True)
     ins.set_defaults(func=cmd_inspect)
+
+    lf = sub.add_parser("LF")
+    lf.add_argument("--index", "-i", required=True)
+    lf.add_argument("--lf-type", default="sequential",
+                    choices=["sequential", "random", "reconstruct"])
+    lf.add_argument("--limit", type=int, default=100000)
+    lf.add_argument("--seed", type=int, default=0)
+    lf.set_defaults(func=cmd_lf)
 
     nl = sub.add_parser("null")
     nl.add_argument("--index", "-i", required=True)

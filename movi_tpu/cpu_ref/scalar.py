@@ -24,12 +24,28 @@ from ..index.structure import MoveIndex
 
 
 class ScalarEngine:
-    def __init__(self, index: MoveIndex):
+    def __init__(self, index: MoveIndex, ignore_illegal_chars: int = 0,
+                 seed: int = 0):
         self.ix = index
         # query (PML reposition) tables: '$' run matches alphabet[0]
         self.nu, self.nd = index.next_tables()
         # search tables: '$' run matches nothing
         self.nu_s, self.nd_s = index.next_tables_search()
+        # --ignore-illegal-chars: 0 = off, 1 = map to 'A', 2 = random base
+        # (check_alphabet, move_structure.cpp:383-397)
+        self.ignore_illegal_chars = ignore_illegal_chars
+        self._rng = np.random.default_rng(seed)
+
+    def resolve_char(self, c: int) -> int:
+        """Apply the --ignore-illegal-chars substitution."""
+        if self.ignore_illegal_chars and not self.check_alphabet(c):
+            ix = self.ix
+            if ix.separators and c == SEPARATOR:
+                return c
+            if self.ignore_illegal_chars == 1:
+                return ord("A")
+            return int(ix.alphabet[self._rng.integers(0, ix.sigma)])
+        return c
 
     # ------------------------------------------------------------------
     def lf_move(self, offset: int, i: int) -> Tuple[int, int, int]:
@@ -136,7 +152,7 @@ class ScalarEngine:
         out: List[int] = []
         sa_out: List[int] = []
         for pos in range(len(r_arr) - 1, -1, -1):
-            c = int(r_arr[pos])
+            c = self.resolve_char(int(r_arr[pos]))
             if not self.check_alphabet(c):
                 match_len = 0
             else:

@@ -8,3 +8,12 @@ under jax.jit / shard_map.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy to avoid importing jax at package import time
+    if name in ("Index", "build_index"):
+        from .api import Index, build_index
+
+        return {"Index": Index, "build_index": build_index}[name]
+    raise AttributeError(name)

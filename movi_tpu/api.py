@@ -1,0 +1,168 @@
+"""High-level API facade.
+
+    import movi_tpu
+
+    index = movi_tpu.build_index("ref.fasta")          # or Index.load(dir)
+    index.save("idx_dir")
+
+    res = index.query_pml(reads)                        # [(name, pmls)]
+    res = index.query_count(reads)
+    res = index.query_zml(reads)
+    res = index.query_mems(reads, min_mem_length=20)
+    res = index.query_kmers(reads, k=31)
+    found = index.classify(reads)                       # SPUMONI binary
+
+Reads are (name, bytes) pairs or a fasta/fastq path.  JAX engines are
+selected automatically (fused single-gather engines when the index was
+built with bound_ff=1, which is the default).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .build.prepare_ref import prepare_ref
+from .build.suffix import build_bwt_runs
+from .index.structure import MoveIndex, build_move_index
+from .io.fastx import iter_fastx, make_batches
+
+Reads = Union[str, Sequence[Tuple[str, bytes]]]
+
+
+def _as_reads(reads: Reads) -> List[Tuple[str, bytes]]:
+    if isinstance(reads, (str, os.PathLike)):
+        return list(iter_fastx(str(reads)))
+    return list(reads)
+
+
+class Index:
+    def __init__(self, ix: MoveIndex, bwt_runs=None):
+        self.ix = ix
+        self._runs = bwt_runs
+        self._scalar = None
+        self._fused_pml = None
+        self._fused_search = None
+        self._bounded = None
+
+    # ------------------------------------------------------------- build
+    @classmethod
+    def build(cls, fasta: Union[str, Sequence[str]],
+              mode: str = "regular-thresholds", rc: bool = True,
+              separators: bool = False, bound_ff: Optional[int] = 1,
+              ) -> "Index":
+        ref = prepare_ref(fasta, rc=rc, separators=separators)
+        runs = build_bwt_runs(ref.text)
+        ix = build_move_index(runs, mode, separators=separators,
+                              bound_ff=bound_ff)
+        return cls(ix, bwt_runs=runs)
+
+    def save(self, index_dir: str):
+        os.makedirs(index_dir, exist_ok=True)
+        self.ix.save(os.path.join(index_dir, "index.npz"))
+
+    @classmethod
+    def load(cls, index_dir: str) -> "Index":
+        return cls(MoveIndex.load(os.path.join(index_dir, "index.npz")))
+
+    # --------------------------------------------------------- engines
+    @property
+    def scalar(self):
+        if self._scalar is None:
+            from .cpu_ref.advanced import AdvancedEngine
+
+            self._scalar = AdvancedEngine(self.ix)
+        return self._scalar
+
+    def _is_bounded(self) -> bool:
+        if self._bounded is None:
+            ix = self.ix
+            lf_abs = ix.all_p[ix.id_arr] + ix.offset_arr
+            e = lf_abs + ix.n_arr - 1
+            id_end = np.searchsorted(ix.all_p[:-1], e, side="right") - 1
+            self._bounded = int((id_end - ix.id_arr).max()) <= 1
+        return self._bounded
+
+    # --------------------------------------------------------- queries
+    def query_pml(self, reads: Reads, lanes: int = 8192, jax: bool = True):
+        reads = _as_reads(reads)
+        if jax and self.ix.thr is not None and self._is_bounded():
+            if self._fused_pml is None:
+                from .engine.fused import FusedPMLEngine, build_fused_index
+
+                self._fused_pml = FusedPMLEngine(build_fused_index(self.ix))
+            out = []
+            for batch in make_batches(reads, lanes=lanes):
+                out.extend(zip(batch.names,
+                               self._fused_pml.query_batch(batch)))
+            return out
+        rand = self.ix.thr is None
+        return [(n, self.scalar.query_pml(s, random_repositioning=rand))
+                for n, s in reads]
+
+    def _search_engines(self):
+        if self._fused_search is None:
+            from .engine.fused_search import (FusedCountEngine,
+                                              FusedZMLEngine,
+                                              build_fused_search_index)
+
+            si = build_fused_search_index(self.ix)
+            self._fused_search = (FusedCountEngine(si), FusedZMLEngine(si))
+        return self._fused_search
+
+    def query_count(self, reads: Reads, lanes: int = 8192, jax: bool = True):
+        reads = _as_reads(reads)
+        if jax and self._is_bounded():
+            ce, _ = self._search_engines()
+            out = []
+            for batch in make_batches(reads, lanes=lanes):
+                out.extend(zip(batch.names, ce.query_batch(batch)))
+            return out
+        return [(n, self.scalar.query_count(s)) for n, s in reads]
+
+    def query_zml(self, reads: Reads, lanes: int = 8192, jax: bool = True):
+        reads = _as_reads(reads)
+        if jax and self._is_bounded():
+            _, ze = self._search_engines()
+            out = []
+            for batch in make_batches(reads, lanes=lanes):
+                out.extend(zip(batch.names, ze.query_batch(batch)))
+            return out
+        return [(n, self.scalar.query_zml(s)) for n, s in reads]
+
+    def query_mems(self, reads: Reads, min_mem_length: int = 0,
+                   ftab_k: int = 0):
+        reads = _as_reads(reads)
+        eng = self.scalar
+        if ftab_k > 1 and eng.ftab_k != ftab_k:
+            eng.build_ftab(ftab_k)
+        return [(n, eng.query_mems(s, min_mem_length)) for n, s in reads]
+
+    def query_kmers(self, reads: Reads, k: int = 31, counts: bool = False):
+        reads = _as_reads(reads)
+        eng = self.scalar
+        if counts:
+            return [(n, eng.count_kmers_bidirectional(s, k))
+                    for n, s in reads]
+        return [(n, eng.query_all_kmers(s, k)) for n, s in reads]
+
+    def classify(self, reads: Reads, nulldb=None, bin_width: int = 150):
+        """Binary SPUMONI classification: [(name, found)]."""
+        from .classify import Classifier, EmpNullDatabase
+
+        reads = _as_reads(reads)
+        if nulldb is None:
+            raise ValueError("classify requires a null database "
+                             "(build one with movi_tpu.classify)")
+        cl = Classifier(nulldb, bin_width=bin_width)
+        out = []
+        for name, pmls in self.query_pml(reads):
+            found, *_ = cl.classify(pmls)
+            out.append((name, found))
+        return out
+
+
+def build_index(fasta, **kw) -> Index:
+    return Index.build(fasta, **kw)

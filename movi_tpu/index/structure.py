@@ -254,11 +254,11 @@ def build_move_index(runs: BWTRuns, mode: str = MODE_REGULAR_THR,
     sigma = len(alphabet)
 
     # ---- run boundaries after splitting (:223-426, :733-745) ----
-    bset = {0}
-    bset.update(int(s) for s in runs.starts)
+    parts = [np.zeros(1, dtype=np.int64), runs.starts.astype(np.int64)]
     if split_thresholds:
-        bset.update(int(t) for t in runs.thresholds if 0 < t < n)
-    bounds = np.array(sorted(bset), dtype=np.int64)
+        thr = runs.thresholds
+        parts.append(thr[(thr > 0) & (thr < n)].astype(np.int64))
+    bounds = np.unique(np.concatenate(parts))
     # chunk segments longer than MAX_RUN_LENGTH
     seg_lens = np.diff(np.concatenate([bounds, [n]]))
     if np.any(seg_lens > max_run_length):

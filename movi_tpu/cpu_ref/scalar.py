@@ -222,9 +222,16 @@ class ScalarEngine:
 
     def initialize_backward_search(self, c: int):
         ix = self.ix
-        a = int(ix.alphamap[c]) + 1
-        return (int(ix.first_runs[a]), int(ix.first_offsets[a]),
-                int(ix.last_runs[a]), int(ix.last_offsets[a]))
+        a = int(ix.alphamap[c])
+        if a >= ix.sigma:
+            # Illegal character: the reference reads out of bounds here
+            # (move_structure_search.cpp:285-291 with an unchecked char,
+            # only reachable from the look-ahead probe); we return the
+            # canonical empty interval, which makes the probe fail and
+            # never changes emissions.
+            return (1, 0, 0, 0)
+        return (int(ix.first_runs[a + 1]), int(ix.first_offsets[a + 1]),
+                int(ix.last_runs[a + 1]), int(ix.last_offsets[a + 1]))
 
     def backward_search_step(self, c: int, rs, os_, re, oe):
         if not self.check_alphabet(c):

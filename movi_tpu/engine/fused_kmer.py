@@ -1,0 +1,151 @@
+"""Device k-mer membership engine.
+
+Vectorizes query_all_kmers / query_kmers_from (sequitur.cpp:257-421) as a
+lockstep per-lane state machine over the fused search records:
+
+  each lane carries (anchor pos, cursor, interval, phase); one tick is
+  either a backward-search extension (fused_bs_step) or a cheap re-anchor.
+  A finished match stretch [cur, pos] emits found = pos - cur - k + 2
+  kmers at start position cur (exactly the reference's
+  add_kmer(pos_on_r + 2 - k, found)), then re-anchors at cur + k - 2.
+
+The reference's ftab initialization and look-ahead probes are CPU
+latency optimizations that do not change emissions (they only skip
+not-found regions); lane parallelism replaces them here.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .fused_search import FusedSearchIndex, _init_interval, fused_bs_step
+from ..io.fastx import ReadBatch
+
+
+def make_kmer_state(lanes: int, W: int, lengths: jax.Array, k: int):
+    pos_init = lengths.astype(jnp.int32) - 1
+    # phase: 0 = need anchor, 1 = extending, 2 = done
+    return dict(
+        phase=jnp.where(pos_init >= k - 1, 0, 2),
+        pos=pos_init,
+        cur=jnp.zeros((lanes,), jnp.int32),
+        rs=jnp.zeros((lanes,), jnp.int32),
+        os=jnp.zeros((lanes,), jnp.int32),
+        re=jnp.zeros((lanes,), jnp.int32),
+        oe=jnp.zeros((lanes,), jnp.int32),
+        out=jnp.zeros((lanes, W), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _kmer_scan(si: FusedSearchIndex, alphas: jax.Array, state, k: int,
+               ticks: int):
+    """alphas: int32 [lanes, W] in READ order (-1 illegal).  Resumable:
+    returns (state', all_done)."""
+    lanes, W = alphas.shape
+    lane_iota = jnp.arange(lanes)
+
+    def char_at(pos):
+        # gather each lane's char at its own position (clamped; caller
+        # guards validity)
+        p = jnp.clip(pos, 0, W - 1)
+        return alphas[lane_iota, p]
+
+    def tick(state, _):
+        phase = state["phase"]
+        pos = state["pos"]
+        cur = state["cur"]
+
+        # ---- anchoring lanes (phase 0) ----
+        c_anchor = char_at(pos)
+        anchor_illegal = (phase == 0) & (c_anchor < 0)
+        # skip illegal chars: pos -= 1 (query_all_kmers:341-343,417-419)
+        pos1 = jnp.where(anchor_illegal, pos - 1, pos)
+        anchored = (phase == 0) & (c_anchor >= 0)
+        irs, ios, ire, ioe = _init_interval(si, c_anchor)
+        rs = jnp.where(anchored, irs, state["rs"])
+        os_ = jnp.where(anchored, ios, state["os"])
+        re = jnp.where(anchored, ire, state["re"])
+        oe = jnp.where(anchored, ioe, state["oe"])
+        cur1 = jnp.where(anchored, pos1, cur)
+        phase1 = jnp.where(anchored, 1, phase)
+        # anchor below k-1: done
+        phase1 = jnp.where((phase1 == 0) & (pos1 < k - 1), 2, phase1)
+
+        # ---- extending lanes (phase 1) ----
+        extending = phase1 == 1
+        can_step = extending & (cur1 > 0)
+        a_next = char_at(cur1 - 1)
+        nrs, nos, nre, noe, empty = fused_bs_step(si, rs, os_, re, oe,
+                                                  jnp.where(can_step, a_next,
+                                                            -1))
+        step_ok = can_step & ~empty
+        rs = jnp.where(step_ok, nrs, rs)
+        os_ = jnp.where(step_ok, nos, os_)
+        re = jnp.where(step_ok, nre, re)
+        oe = jnp.where(step_ok, noe, oe)
+        cur2 = jnp.where(step_ok, cur1 - 1, cur1)
+
+        # stretch terminated: failed step, or reached position 0
+        terminated = extending & (~step_ok)
+        matched = pos1 - cur2  # pos_saved - pos_on_r in the reference
+        found = matched - k + 2
+        emit = terminated & (matched >= k - 1)
+        out = state["out"]
+        out = out.at[lane_iota, jnp.clip(cur2, 0, W - 1)].add(
+            jnp.where(emit, found, 0))
+        # new anchor: cur + k - 2 on success, pos - 1 otherwise
+        new_pos = jnp.where(emit, cur2 + k - 2, pos1 - 1)
+        pos2 = jnp.where(terminated, new_pos, pos1)
+        phase2 = jnp.where(terminated,
+                           jnp.where(new_pos >= k - 1, 0, 2), phase1)
+
+        new_state = dict(phase=phase2, pos=pos2, cur=cur2, rs=rs, os=os_,
+                         re=re, oe=oe, out=out)
+        return new_state, None
+
+    state, _ = jax.lax.scan(tick, state, None, length=ticks)
+    return state, jnp.all(state["phase"] == 2)
+
+
+class FusedKmerEngine:
+    def __init__(self, si: FusedSearchIndex, k: int):
+        self.si = si
+        self.k = k
+
+    def query_batch(self, batch: ReadBatch) -> List[List[Tuple[int, int]]]:
+        """Per read: [(kmer_start_pos, found_count)] in descending
+        position order, identical to AdvancedEngine.query_all_kmers."""
+        # LEFT-align reads in read order for per-lane position indexing
+        W = batch.width
+        lanes = batch.lanes
+        alphas = np.full((lanes, W), -1, dtype=np.int32)
+        amap = self.si.alphamap_query
+        for i in range(lanes):
+            L = int(batch.lengths[i])
+            alphas[i, :L] = amap[
+                np.frombuffer(batch.seqs[i, W - L:].tobytes(), np.uint8)]
+        ticks = 2 * W + 64
+        al = jnp.asarray(alphas)
+        state = make_kmer_state(lanes, W,
+                                jnp.asarray(batch.lengths.astype(np.int32)),
+                                self.k)
+        # worst case is O(W*k) ticks (same as the scalar re-scan overlap);
+        # resume the scan until every lane is done
+        for _ in range(self.k + 4):
+            state, done = _kmer_scan(self.si, al, state, self.k, ticks)
+            if bool(done):
+                break
+        assert bool(done), "kmer scan did not converge"
+        out_all = np.asarray(state["out"])
+        res = []
+        for i in range(lanes):
+            nz = np.flatnonzero(out_all[i])
+            res.append([(int(p), int(out_all[i][p])) for p in nz[::-1]])
+        return res

@@ -1,0 +1,52 @@
+"""Device k-mer membership engine == scalar query_all_kmers."""
+
+import numpy as np
+import pytest
+
+from movi_tpu.build.prepare_ref import revcomp
+from movi_tpu.build.suffix import build_bwt_runs
+from movi_tpu.cpu_ref.advanced import AdvancedEngine
+from movi_tpu.engine.fused_kmer import FusedKmerEngine
+from movi_tpu.engine.fused_search import build_fused_search_index
+from movi_tpu.index.structure import build_move_index
+from movi_tpu.io.fastx import make_batches
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(9)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fw = rng.choice(bases, size=2500).astype(np.uint8)
+    text = np.concatenate([fw, revcomp(fw)])
+    ix = build_move_index(build_bwt_runs(text), "regular-thresholds",
+                         bound_ff=1)
+    return text, AdvancedEngine(ix, ftab_k=0), build_fused_search_index(ix)
+
+
+@pytest.mark.parametrize("k", [5, 11, 21])
+def test_fused_kmer_matches_scalar(setup, k):
+    text, sc, si = setup
+    rng = np.random.default_rng(100 + k)
+    reads = []
+    for i in range(30):
+        L = int(rng.integers(k + 1, 80))
+        s = int(rng.integers(0, len(text) - L))
+        seq = bytearray(text[s : s + L].tobytes())
+        for _ in range(int(rng.integers(0, 5))):
+            seq[int(rng.integers(0, L))] = int(
+                rng.choice(np.frombuffer(b"ACGTN", np.uint8)))
+        reads.append((f"r{i}", bytes(seq)))
+    batch = next(make_batches(reads, lanes=len(reads)))
+    got = FusedKmerEngine(si, k).query_batch(batch)
+    for i, (name, seq) in enumerate(reads):
+        assert got[i] == sc.query_all_kmers(seq, k), name
+
+
+def test_fused_kmer_short_reads(setup):
+    text, sc, si = setup
+    reads = [("tiny", b"ACG"), ("exact", text[10:21].tobytes()),
+             ("allN", b"N" * 15)]
+    batch = next(make_batches(reads, lanes=len(reads)))
+    got = FusedKmerEngine(si, 11).query_batch(batch)
+    for i, (name, seq) in enumerate(reads):
+        assert got[i] == sc.query_all_kmers(seq, 11), name

@@ -1,0 +1,83 @@
+"""Property fuzzing: random texts (incl. degenerate ones) through every
+mode and engine, cross-checked for agreement and against brute force."""
+
+import numpy as np
+import pytest
+
+from movi_tpu.build.suffix import build_bwt_runs
+from movi_tpu.cpu_ref.scalar import ScalarEngine
+from movi_tpu.engine.device_index import build_device_index
+from movi_tpu.engine.fused import FusedPMLEngine, build_fused_index
+from movi_tpu.engine.pml import PMLEngine
+from movi_tpu.index.structure import build_move_index
+from movi_tpu.io.fastx import make_batches
+
+MODES = ["regular-thresholds", "large", "sampled-thresholds",
+         "blocked-thresholds", "constant", "split"]
+
+
+def _texts(rng):
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    yield rng.choice(bases, size=300).astype(np.uint8)           # random
+    yield np.tile(rng.choice(bases, size=13), 40).astype(np.uint8)  # periodic
+    yield np.repeat(bases, 120).astype(np.uint8)                  # 4 giant runs
+    two = np.frombuffer(b"AC", dtype=np.uint8)
+    yield rng.choice(two, size=400).astype(np.uint8)              # 2-letter
+    yield np.full(257, ord("G"), dtype=np.uint8)                  # single char
+
+
+def test_fuzz_modes_agree():
+    rng = np.random.default_rng(111)
+    for t_i, text in enumerate(_texts(rng)):
+        runs = build_bwt_runs(text)
+        engines = {}
+        for mode in MODES:
+            ix = build_move_index(runs, mode,
+                                  bound_ff=4 if mode in ("constant", "split")
+                                  else None)
+            eng = ScalarEngine(ix)
+            assert eng.verify_lf_loop(), (t_i, mode)
+            engines[mode] = eng
+        reads = []
+        present = np.unique(text)
+        for i in range(8):
+            L = int(rng.integers(2, 40))
+            s = int(rng.integers(0, max(1, len(text) - L)))
+            seq = bytearray(text[s : s + L].tobytes())
+            if i % 3 == 0 and L > 2:
+                seq[int(rng.integers(0, L))] = ord("T") if ord("T") in \
+                    present or True else ord("A")
+            reads.append(bytes(seq))
+        base = [engines[MODES[0]].query_pml(s) for s in reads]
+        for mode in MODES[1:]:
+            got = [engines[mode].query_pml(s) for s in reads]
+            assert got == base, (t_i, mode)
+
+
+def test_fuzz_jax_engines_many_seeds():
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for seed in range(4):
+        rng = np.random.default_rng(1000 + seed)
+        text = rng.choice(bases, size=int(rng.integers(200, 2000))
+                          ).astype(np.uint8)
+        ix = build_move_index(build_bwt_runs(text), "regular-thresholds",
+                             bound_ff=1)
+        sc = ScalarEngine(ix)
+        fe = FusedPMLEngine(build_fused_index(ix))
+        ce = PMLEngine(build_device_index(ix))
+        reads = []
+        for i in range(10):
+            L = int(rng.integers(1, 50))
+            s = int(rng.integers(0, max(1, len(text) - L)))
+            seq = bytearray(text[s : s + L].tobytes())
+            for _ in range(int(rng.integers(0, 3))):
+                seq[int(rng.integers(0, L))] = int(
+                    rng.choice(np.frombuffer(b"ACGTNX", np.uint8)))
+            reads.append((f"r{i}", bytes(seq)))
+        batch = next(make_batches(reads, lanes=len(reads)))
+        got_f = fe.query_batch(batch)
+        got_c = ce.query_batch(batch)
+        for i, (name, seq) in enumerate(reads):
+            want = sc.query_pml(seq)
+            assert got_f[i] == want, (seed, name)
+            assert got_c[i] == want, (seed, name)

@@ -149,12 +149,19 @@ def format_report_line(read_name: str, found: bool, avg: float,
             f"{above:<12}{below:<12}")
 
 
-def build_nulldb_pml(index, query_pml_fn, records,
-                     seed: int = 0) -> EmpNullDatabase:
+def build_nulldb_pml(index, query_pml_fn, records, seed: int = 0,
+                     null_reads_path: Optional[str] = None
+                     ) -> EmpNullDatabase:
     """Generate null reads from the raw reference records, run PML on
-    them, compute the null statistics (classifier.cpp:12-22)."""
+    them, compute the null statistics (classifier.cpp:12-22).  When
+    null_reads_path is given, the generated reads are persisted like the
+    reference's index/null_reads.fasta."""
     rng = np.random.default_rng(seed)
     null_reads = generate_null_reads(records, rng)
+    if null_reads_path:
+        with open(null_reads_path, "w") as f:
+            for name, seq in null_reads:
+                f.write(f">{name}\n{seq.decode()}\n")
     stats: List[int] = []
     for _, seq in null_reads:
         stats.extend(query_pml_fn(seq))

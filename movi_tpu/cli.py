@@ -115,7 +115,8 @@ def cmd_build(args):
         random_rep = ix.thr is None
         db = build_nulldb_pml(
             ix, lambda s: eng.query_pml(s, random_repositioning=random_rep),
-            records, seed=args.seed)
+            records, seed=args.seed,
+            null_reads_path=os.path.join(args.index, "null_reads.fasta"))
         db.save(os.path.join(args.index, "movi.pml.nulldb"))
         _log(f"pml null statistics: percentile={db.percentile_value}")
         dbz = build_nulldb_pml(ix, eng.query_zml, records, seed=args.seed)
@@ -264,6 +265,9 @@ def cmd_query(args):
                 for ln in lines:
                     f.write(ln + "\n")
             _log(f"wrote {out}")
+        if qt == "kmers":
+            for ln in eng.kmer_stats.summary().splitlines():
+                _log(ln)
         return
 
     use_jax = not args.no_jax

@@ -25,6 +25,30 @@ from .scalar import ScalarEngine
 EMPTY = (1, 0, 0, 0)
 
 
+@dataclass
+class KmerStats:
+    """Aggregated k-mer search statistics (include/sequitur.hpp:4-41)."""
+
+    positive_kmers: int = 0
+    positive_skipped: int = 0
+    look_ahead_skipped: int = 0
+    initialize_skipped: int = 0
+    backward_search_failed: int = 0
+    backward_search_empty: int = 0
+    right_extension_failed: int = 0
+    total_counts: int = 0
+
+    def summary(self) -> str:
+        return ("kmer statistics:\n"
+                f"  positive kmers:        {self.positive_kmers}\n"
+                f"  positive skipped:      {self.positive_skipped}\n"
+                f"  look-ahead skipped:    {self.look_ahead_skipped}\n"
+                f"  initialize skipped:    {self.initialize_skipped}\n"
+                f"  backward search fails: {self.backward_search_failed}\n"
+                f"  right extension fails: {self.right_extension_failed}\n"
+                f"  total counts:          {self.total_counts}")
+
+
 def _is_empty(iv):
     rs, os_, re, oe = iv
     return not (rs < re or (rs == re and os_ <= oe))
@@ -43,6 +67,7 @@ class AdvancedEngine(ScalarEngine):
     def __init__(self, index: MoveIndex, ftab_k: int = 0,
                  multi_ftab: bool = False):
         super().__init__(index)
+        self.kmer_stats = KmerStats()
         self.ftab_k = ftab_k
         self.ftab: Optional[np.ndarray] = None
         self.multi_ftab = multi_ftab
@@ -368,11 +393,16 @@ class AdvancedEngine(ScalarEngine):
             step = k - self.ftab_k - 1
         while pos >= k - 1:
             if pos >= k - 1 + step and not self._look_ahead(seq, pos, step, k):
+                self.kmer_stats.look_ahead_skipped += step + 1
                 pos = pos - step - 1
             else:
                 pos, found = self._query_kmers_from(seq, pos, k)
+                self.kmer_stats.positive_kmers += found
                 if found > 0:
+                    self.kmer_stats.positive_skipped += found - 1
                     out.append((pos + 2 - k, found))
+                else:
+                    self.kmer_stats.backward_search_failed += 1
             while pos >= 0 and not self.check_alphabet(seq[pos]):
                 pos -= 1
         return out
@@ -431,4 +461,6 @@ class AdvancedEngine(ScalarEngine):
             if pos == 0 and not _is_empty(iv):
                 found += 1
                 total += self.interval_count(*iv)
+        self.kmer_stats.positive_kmers += found
+        self.kmer_stats.total_counts += total
         return found, total

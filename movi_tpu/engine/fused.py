@@ -185,7 +185,8 @@ def _fused_pml_scan(fi: FusedIndex, alphas_t: jax.Array):
     ml0 = jnp.zeros((lanes,), dtype=jnp.int32)
 
     def step(state, a):
-        return fused_pml_step(fi.records, slots, state, a)
+        # alphas may arrive as uint8 to quarter the host->device transfer
+        return fused_pml_step(fi.records, slots, state, a.astype(jnp.int32))
 
     _, ml = jax.lax.scan(step, (idx0, off0, ml0), alphas_t)
     return ml
@@ -198,7 +199,8 @@ class FusedPMLEngine:
     def query_batch_device(self, batch: ReadBatch) -> jax.Array:
         seqs_rev = batch.seqs[:, ::-1]
         alphas = self.fi.alphamap_query[seqs_rev]  # [lanes, W]
-        alphas_t = jnp.asarray(alphas.T.astype(np.int32))
+        # ship as uint8 (slot values <= sigma); widened on device
+        alphas_t = jnp.asarray(np.ascontiguousarray(alphas.T).astype(np.uint8))
         return _fused_pml_scan(self.fi, alphas_t)
 
     def query_batch(self, batch: ReadBatch) -> List[List[int]]:

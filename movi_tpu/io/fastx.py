@@ -80,13 +80,26 @@ class ReadBatch:
 PAD_BYTE = 255
 
 
+def _width_bucket(w: int) -> int:
+    """Round the batch width up to a small set of buckets so jit compiles
+    stay bounded across variable-length read files (nanopore etc.)."""
+    if w <= 64:
+        return 64
+    b = 64
+    while b < w:
+        b += b // 2 if b >= 256 else b  # 64,128,256,384,576,864,...
+    return b
+
+
 def make_batches(reads: List[Tuple[str, bytes]], lanes: int,
-                 width: int | None = None, reverse: bool = False
-                 ) -> Iterator[ReadBatch]:
+                 width: int | None = None, reverse: bool = False,
+                 bucket_widths: bool = True) -> Iterator[ReadBatch]:
     """Pack reads into padded [lanes, width] batches (right-aligned)."""
     for start in range(0, len(reads), lanes):
         chunk = reads[start : start + lanes]
         w = width or max(len(s) for _, s in chunk)
+        if width is None and bucket_widths:
+            w = _width_bucket(w)
         nlanes = lanes if width else len(chunk)
         seqs = np.full((nlanes, w), PAD_BYTE, dtype=np.uint8)
         lengths = np.zeros(nlanes, dtype=np.int32)

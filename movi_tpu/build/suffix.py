@@ -227,6 +227,60 @@ def compute_thresholds(bwt: np.ndarray, lcp: np.ndarray,
     return thresholds
 
 
+def read_thresholds_file(path: str) -> np.ndarray:
+    """Read a `.thr_pos` file of 5-byte little-endian thresholds with the
+    reference's overflow recovery (read_thresholds, utils.cpp:150-200):
+    a sudden >10x drop while the previous value was large means the 5-byte
+    counter wrapped, so add another 2^40."""
+    raw = np.fromfile(path, dtype=np.uint8)
+    assert len(raw) % 5 == 0, f"invalid thresholds file {path}"
+    raw = raw.reshape(-1, 5).astype(np.uint64)
+    vals = (raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+            | (raw[:, 3] << 24) | (raw[:, 4] << 32)).astype(np.int64)
+    max5 = np.int64(1) << 40
+    step = 0
+    out = vals.copy()
+    for i in range(1, len(vals)):
+        prev = out[i - 1] - step * max5
+        if vals[i] != 0 and vals[i] < prev // 10 and prev > max5 // 10:
+            step += 1
+        out[i] = vals[i] + step * max5
+    return out
+
+
+def runs_from_preprocessed(bwt_file: str) -> BWTRuns:
+    """BWTRuns from the reference pipeline's preprocessed artifacts:
+    `<bwt>.heads` + `<bwt>.len` (from `movi rlbwt` / `pfp_thresholds -r`)
+    or the raw `<bwt>` file, plus `<prefix>.thr_pos` thresholds
+    (compute_length_from_bwt, move_structure_build.cpp:143-202).
+    No suffix array is available on this path (sa=None), so SA sampling
+    must go through the LF sweep (index/sweeps.py)."""
+    heads_path, len_path = bwt_file + ".heads", bwt_file + ".len"
+    if os.path.exists(heads_path) and os.path.exists(len_path):
+        heads = np.fromfile(heads_path, dtype=np.uint8)
+        raw = np.fromfile(len_path, dtype=np.uint8)
+        assert len(raw) % 5 == 0, f"invalid len file {len_path}"
+        raw = raw.reshape(-1, 5).astype(np.int64)
+        lens = (raw[:, 0] | (raw[:, 1] << 8) | (raw[:, 2] << 16)
+                | (raw[:, 3] << 24) | (raw[:, 4] << 32))
+        starts = np.concatenate([[0], np.cumsum(lens)[:-1]]).astype(np.int64)
+        bwt = np.repeat(heads, lens)
+    else:
+        bwt = np.fromfile(bwt_file, dtype=np.uint8)
+        heads, lens, starts = find_runs(bwt)
+    # pfp writes the sentinel as 0x00 (END_CHARACTER, utils.hpp:162)
+    prefix = bwt_file[:-4] if bwt_file.endswith(".bwt") else bwt_file
+    thr_path = prefix + ".thr_pos"
+    if os.path.exists(thr_path):
+        thresholds = read_thresholds_file(thr_path)
+        assert len(thresholds) == len(starts), (
+            f"thresholds count {len(thresholds)} != runs {len(starts)}")
+    else:
+        thresholds = np.zeros(len(starts), dtype=np.int64)
+    return BWTRuns(bwt=bwt, heads=heads, lens=lens, starts=starts,
+                   thresholds=thresholds, sa=None)
+
+
 def build_bwt_runs(text_no_sentinel: np.ndarray) -> BWTRuns:
     """Full pipeline: text -> SA -> BWT -> LCP -> runs + thresholds."""
     text = np.concatenate([text_no_sentinel, np.zeros(1, dtype=np.uint8)])

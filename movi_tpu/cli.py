@@ -37,16 +37,29 @@ def cmd_build(args):
     os.makedirs(args.index, exist_ok=True)
     t0 = time.time()
     fasta_paths = args.fasta
-    ref = prepare_ref(fasta_paths, rc=not args.fw, separators=args.separators,
-                      is_list=args.list,
-                      out_fasta=os.path.join(args.index, "ref.fa")
-                      if args.keep_ref else None)
-    _log(f"prepared reference: {len(ref.text)} bases ({time.time()-t0:.1f}s)")
+    if args.bwt_file:
+        # preprocessed path: reuse a pfp_thresholds/rlbwt BWT + .thr_pos
+        # (movi build --preprocessed, move_structure_build.cpp:143-202)
+        from .build.suffix import runs_from_preprocessed
 
-    t0 = time.time()
-    runs = build_bwt_runs(ref.text)
-    _log(f"BWT: n={len(runs.bwt)} original_r={len(runs.starts)} "
-         f"({time.time()-t0:.1f}s)")
+        runs = runs_from_preprocessed(args.bwt_file)
+        ref = None
+        _log(f"preprocessed BWT: n={len(runs.bwt)} "
+             f"original_r={len(runs.starts)} ({time.time()-t0:.1f}s)")
+    else:
+        if not fasta_paths:
+            raise SystemExit("build requires --fasta or --bwt-file")
+        ref = prepare_ref(fasta_paths, rc=not args.fw,
+                          separators=args.separators, is_list=args.list,
+                          out_fasta=os.path.join(args.index, "ref.fa")
+                          if args.keep_ref else None)
+        _log(f"prepared reference: {len(ref.text)} bases "
+             f"({time.time()-t0:.1f}s)")
+
+        t0 = time.time()
+        runs = build_bwt_runs(ref.text)
+        _log(f"BWT: n={len(runs.bwt)} original_r={len(runs.starts)} "
+             f"({time.time()-t0:.1f}s)")
 
     t0 = time.time()
     from .constants import MODE_INFO
@@ -71,15 +84,21 @@ def cmd_build(args):
         _log("LF loop verified")
 
     if args.sa_entries:
-        ix.sampled_SA = runs.sampled_sa(args.sa_sample_rate)
+        if runs.sa is not None:
+            ix.sampled_SA = runs.sampled_sa(args.sa_sample_rate)
+        else:
+            from .index.sweeps import lf_sweep
+
+            ix.sampled_SA, _ = lf_sweep(ix, sa_sample_rate=args.sa_sample_rate)
         ix.sa_sample_rate = args.sa_sample_rate
         _log(f"sampled SA: {len(ix.sampled_SA)} entries "
              f"(rate {args.sa_sample_rate})")
 
     # document metadata (always written; needed by color / multi-classify)
-    with open(os.path.join(args.index, "ref.fa.doc_offsets"), "w") as f:
-        for off in ref.doc_offsets:
-            f.write(f"{off}\n")
+    if ref is not None:
+        with open(os.path.join(args.index, "ref.fa.doc_offsets"), "w") as f:
+            for off in ref.doc_offsets:
+                f.write(f"{off}\n")
 
     if args.color:
         from .color import DocumentInfo, build_color_table, compress_color_table
@@ -97,6 +116,9 @@ def cmd_build(args):
              f"{di.num_docs} documents")
 
     ix.save(os.path.join(args.index, "index.npz"))
+    if args.mmap:
+        ix.save_mmap(os.path.join(args.index, "index.mmap"))
+        _log("wrote mmap layout index.mmap/")
 
     if args.ftab_k > 1:
         from .cpu_ref.advanced import AdvancedEngine
@@ -106,7 +128,7 @@ def cmd_build(args):
                 aeng.ftab)
         _log(f"ftab (k={args.ftab_k}) written")
 
-    if not args.skip_null:
+    if not args.skip_null and fasta_paths:
         # PML and ZML null statistics, like the reference build
         # (movi.cpp:621-634)
         records = []
@@ -125,11 +147,19 @@ def cmd_build(args):
     _log("build done")
 
 
-def _load_index(index_dir):
+def _load_index(index_dir, mmap=False):
     """Load index.npz (native) or a reference-built index.movi, like the
-    launcher's header-byte dispatch (movi_launcher.cpp:408-434)."""
+    launcher's header-byte dispatch (movi_launcher.cpp:408-434).  With
+    mmap=True, demand-page the row arrays from an index.mmap/ layout
+    (the reference's --mmap, move_structure_io.cpp:361-397)."""
     from .index.structure import MoveIndex
 
+    mmap_dir = os.path.join(index_dir, "index.mmap")
+    if mmap and os.path.isdir(mmap_dir):
+        return MoveIndex.load_mmap(mmap_dir)
+    if mmap:
+        _log("no index.mmap/ layout found; loading index normally "
+             "(build with --mmap to enable)")
     npz = os.path.join(index_dir, "index.npz")
     if os.path.exists(npz):
         return MoveIndex.load(npz)
@@ -159,27 +189,44 @@ def cmd_query(args):
     from .io.fastx import iter_fastx, make_batches
     from .io.outputs import BPFWriter, count_line, pml_stdout_lines
 
-    ix = _load_index(args.index)
+    ix = _load_index(args.index, mmap=args.mmap)
     qt = _query_type(args)
     reads = list(iter_fastx(args.read))
     if args.reverse:
         reads = [(n, s[::-1]) for n, s in reads]
 
-    if args.sa_entries:
-        args.no_jax = True  # SA entries run on the scalar path for now
+    if args.sa_entries or args.logs:
+        args.no_jax = True  # SA entries / logs run on the scalar path
 
     if args.multi_classify:
         from .color import ColorEngine, ColorTable
 
         ct = ColorTable.load(os.path.join(args.index, "colors.npz"))
+        report_colors = args.report_colors or args.report_color_ids
         eng = ColorEngine(ix, ct, min_match_len=args.min_match_len,
-                          pvalue_scoring=args.pvalue_scoring)
+                          pvalue_scoring=args.pvalue_scoring,
+                          report_all=args.report_all,
+                          min_diff_frac=args.min_diff_frac,
+                          min_score_frac=args.min_score_frac,
+                          report_colors=report_colors,
+                          early_stop=args.early_stop)
         out_path = (args.out_file
                     or f"{args.read}.{ix.mode}.multiclass.csv")
         lines = []
+        color_lines = []
         for name, seq in reads:
-            _, cell = eng.query_pml_multiclass(seq)
+            pmls, cell = eng.query_pml_multiclass(seq)
             lines.append(f"{name},{cell}")
+            if report_colors:
+                color_lines.append(
+                    ">" + name + "\n"
+                    + " ".join(str(c) for c in reversed(eng.last_colors)))
+        if report_colors and not args.no_output:
+            cpath = f"{args.read}.{ix.mode}.colors"
+            with open(cpath, "w") as f:
+                for ln in color_lines:
+                    f.write(ln + "\n")
+            _log(f"wrote {cpath}")
         if args.lca_tree:
             from .lca import lca_postprocess, load_nodes_dmp
 
@@ -187,7 +234,7 @@ def cmd_query(args):
         if args.stdout:
             for ln in lines:
                 print(ln)
-        else:
+        elif not args.no_output:
             with open(out_path, "w") as f:
                 for ln in lines:
                     f.write(ln + "\n")
@@ -222,7 +269,7 @@ def cmd_query(args):
             if args.stdout:
                 for ln in lines:
                     print(ln)
-            else:
+            elif not args.no_output:
                 out = f"{args.read}.{ix.mode}.kmers.{args.k}"
                 with open(out, "w") as f:
                     for ln in lines:
@@ -235,13 +282,16 @@ def cmd_query(args):
         from .io.outputs import mem_lines
 
         ftab_path = os.path.join(args.index, f"ftab.{args.ftab_k}.npy")
-        eng = AdvancedEngine(ix, ftab_k=0)
-        if args.ftab_k > 1:
-            if os.path.exists(ftab_path):
-                eng.ftab = np.load(ftab_path)
-                eng.ftab_k = args.ftab_k
-            else:
-                eng.build_ftab(args.ftab_k)
+        if args.multi_ftab and args.ftab_k > 1:
+            eng = AdvancedEngine(ix, ftab_k=args.ftab_k, multi_ftab=True)
+        else:
+            eng = AdvancedEngine(ix, ftab_k=0)
+            if args.ftab_k > 1:
+                if os.path.exists(ftab_path):
+                    eng.ftab = np.load(ftab_path)
+                    eng.ftab_k = args.ftab_k
+                else:
+                    eng.build_ftab(args.ftab_k)
         lines = []
         for name, seq in reads:
             if qt == "mems":
@@ -258,7 +308,7 @@ def cmd_query(args):
         if args.stdout:
             for ln in lines:
                 print(ln)
-        else:
+        elif not args.no_output:
             suffix = "" if qt == "mems" else f".{args.k}"
             out = f"{args.read}.{ix.mode}.{qt}{suffix}"
             with open(out, "w") as f:
@@ -286,7 +336,7 @@ def cmd_query(args):
         bounded = int((id_end - ix.id_arr).max()) <= 1
 
         eng = None
-        if qt == "pml" and ix.thr is not None and bounded:
+        if qt == "pml" and ix.thr is not None and bounded and not args.rpml:
             from .engine.fused import FusedPMLEngine, build_fused_index
 
             eng = FusedPMLEngine(build_fused_index(ix))
@@ -307,7 +357,8 @@ def cmd_query(args):
 
             di = build_device_index(ix)
             if qt == "pml":
-                eng = PMLEngine(di, random_repositioning=ix.thr is None)
+                eng = PMLEngine(di, random_repositioning=args.rpml
+                                or ix.thr is None)
             elif qt == "zml":
                 eng = ZMLEngine(di)
             else:
@@ -318,31 +369,46 @@ def cmd_query(args):
     else:
         from .cpu_ref.scalar import ScalarEngine
 
-        eng = ScalarEngine(ix)
-        sa_results = []
-        for name, seq in reads:
-            if qt == "pml":
-                if args.sa_entries:
-                    pmls, sas = eng.query_pml(
-                        seq, random_repositioning=ix.thr is None,
-                        collect_sa=True)
-                    results.append((name, pmls))
-                    sa_results.append((name, sas))
+        rand_rep = args.rpml or ix.thr is None
+        if args.logs and qt == "pml":
+            from .logs import LoggingScalarEngine, write_log_files
+
+            leng = LoggingScalarEngine(ix)
+            log_entries = []
+            for name, seq in reads:
+                pmls, qlogs = leng.query_pml_logged(seq)
+                results.append((name, pmls))
+                log_entries.append((name, qlogs))
+            write_log_files(f"{args.read}.{ix.mode}.{qt}", log_entries)
+            _log(f"wrote {args.read}.{ix.mode}.{qt}"
+                 ".{costs,scans,fastforwards}")
+        else:
+            eng = ScalarEngine(
+                ix, ignore_illegal_chars=args.ignore_illegal_chars)
+            sa_results = []
+            for name, seq in reads:
+                if qt == "pml":
+                    if args.sa_entries:
+                        pmls, sas = eng.query_pml(
+                            seq, random_repositioning=rand_rep,
+                            collect_sa=True)
+                        results.append((name, pmls))
+                        sa_results.append((name, sas))
+                    else:
+                        results.append(
+                            (name, eng.query_pml(
+                                seq, random_repositioning=rand_rep)))
+                elif qt == "zml":
+                    results.append((name, eng.query_zml(seq)))
                 else:
-                    results.append(
-                        (name, eng.query_pml(
-                            seq, random_repositioning=ix.thr is None)))
-            elif qt == "zml":
-                results.append((name, eng.query_zml(seq)))
-            else:
-                results.append((name, eng.query_count(seq)))
-        if args.sa_entries and sa_results:
-            out_sa = (args.out_file or f"{args.read}.{ix.mode}") + \
-                f".{qt}.sa_entries.bpf"
-            with BPFWriter(out_sa, entry_size=64) as w:
-                for name, sas in sa_results:
-                    w.write_read(name, sas)
-            _log(f"wrote {out_sa}")
+                    results.append((name, eng.query_count(seq)))
+            if args.sa_entries and sa_results and not args.no_output:
+                out_sa = (args.out_file or f"{args.read}.{ix.mode}") + \
+                    f".{qt}.sa_entries.bpf"
+                with BPFWriter(out_sa, entry_size=64) as w:
+                    for name, sas in sa_results:
+                        w.write_read(name, sas)
+                _log(f"wrote {out_sa}")
 
     # classification
     classifier = None
@@ -386,7 +452,7 @@ def cmd_query(args):
     elif args.stdout:
         for ln in lines_out:
             print(ln)
-    else:
+    elif not args.no_output:
         if qt in ("pml", "zml"):
             with BPFWriter(out_prefix + ".bpf") as w:
                 for name, res in results:
@@ -402,12 +468,114 @@ def cmd_query(args):
         if args.stdout:
             for ln in report_lines:
                 print(ln)
-        else:
+        elif not args.no_output:
             rpath = f"{args.read}.{index_type}.{qt}.report"
             with open(rpath, "w") as f:
                 for ln in report_lines:
                     f.write(ln + "\n")
             _log(f"wrote {rpath}")
+
+
+def cmd_build_sa(args):
+    """`build-SA`: (re)build the sampled SA from the index alone via an
+    O(n) LF sweep (movi.cpp:640-645; move_structure_build.cpp:1173-1212)."""
+    from .index.sweeps import lf_sweep
+
+    ix = _load_index(args.index)
+    sa, _ = lf_sweep(ix, sa_sample_rate=args.sample_rate)
+    ix.sampled_SA = sa
+    ix.sa_sample_rate = args.sample_rate
+    ix.save(os.path.join(args.index, "index.npz"))
+    _log(f"sampled SA: {len(sa)} entries (rate {args.sample_rate})")
+
+
+def cmd_ftab(args):
+    """`ftab`: (re)build the k-mer lookup table from an existing index
+    (movi.cpp:728-731; build_ftab move_structure_build.cpp:1121-1171)."""
+    from .cpu_ref.advanced import AdvancedEngine
+
+    ix = _load_index(args.index)
+    ks = ([args.ftab_k] if not args.multi_ftab
+          else [k for k in range(args.ftab_k, 1, -2)])
+    for k in ks:
+        eng = AdvancedEngine(ix, ftab_k=k)
+        np.save(os.path.join(args.index, f"ftab.{k}.npy"), eng.ftab)
+        _log(f"ftab (k={k}) written")
+
+
+def cmd_color(args):
+    """`color`: build the color table for an existing index
+    (movi.cpp:646-654, color() :167-219).  doc_pats come from an O(n)
+    LF sweep; with --full they are persisted alongside the doc sets."""
+    from .color import (build_color_table_from_index, compress_color_table,
+                        load_document_info)
+
+    ix = _load_index(args.index)
+    di = load_document_info(args.index)
+    ct = build_color_table_from_index(ix, di)
+    if args.full:
+        np.save(os.path.join(args.index, "doc_pats.npy"), ct.doc_pats)
+        _log("doc_pats written")
+    if args.compress:
+        ct = compress_color_table(ct)
+        _log(f"frequency-compressed to {len(ct.unique_doc_sets)} sets")
+    if args.tree_compress:
+        from .lca import tree_compress_color_table
+
+        ct = tree_compress_color_table(ct, ix.r)
+        _log("tree-compressed")
+    ct.save(os.path.join(args.index, "colors.npz"))
+    _log(f"colors: {len(ct.unique_doc_sets)} unique doc sets over "
+         f"{di.num_docs} documents")
+
+
+def cmd_rlbwt(args):
+    """`rlbwt`: preprocess a raw BWT file into run-length form —
+    .bwt.heads (chars) + .bwt.len (5-byte little-endian lengths), exactly
+    the reference's format (build_rlbwt, movi.cpp:505-559)."""
+    import struct
+
+    bwt = np.fromfile(args.bwt_file, dtype=np.uint8)
+    if len(bwt) == 0:
+        raise SystemExit(f"empty BWT file: {args.bwt_file}")
+    bounds = np.flatnonzero(np.diff(bwt)) + 1
+    starts = np.concatenate([[0], bounds])
+    lens = np.diff(np.concatenate([starts, [len(bwt)]]))
+    with open(args.bwt_file + ".heads", "wb") as hf:
+        hf.write(bwt[starts].tobytes())
+    with open(args.bwt_file + ".len", "wb") as lf:
+        for ln in lens:
+            lf.write(struct.pack("<Q", int(ln))[:5])
+    _log(f"rlbwt: {len(starts)} runs over {len(bwt)} bases")
+
+
+def cmd_color_move_rows(args):
+    """`color-move-rows`: embed per-run color ids into the serialized
+    rows (add_colors_to_rlbwt, move_structure_color.cpp:352-374 +
+    MoveRowColored move_row_colored.hpp), written as a
+    reference-compatible colored index.movi."""
+    from .color import ColorTable
+    from .index.movi_format import write_movi_colored
+
+    ix = _load_index(args.index)
+    ct = ColorTable.load(os.path.join(args.index, "colors.npz"))
+    out = os.path.join(args.index, "index_colored.movi")
+    write_movi_colored(ix, np.asarray(ct.doc_set_inds), out)
+    _log(f"wrote {out}")
+
+
+def cmd_prepare_ref(args):
+    """`prepare-ref`: standalone FASTA cleaner (prepare_ref.cpp:16-131)."""
+    from .build.prepare_ref import prepare_ref
+
+    ref = prepare_ref(args.fasta, rc=not args.fw,
+                      separators=args.separators, is_list=args.list,
+                      out_fasta=args.output)
+    with open(args.output + ".doc_offsets", "w") as f:
+        for off in ref.doc_offsets:
+            f.write(f"{off}\n")
+    _log(f"prepared {args.output}: {len(ref.text)} bases, "
+         f"{len(ref.doc_offsets)} documents")
 
 
 def cmd_view(args):
@@ -424,7 +592,8 @@ def cmd_view(args):
         classifier = Classifier(db, bin_width=args.bin_width)
         report_lines.append(format_report_header(classifier.max_value_thr))
 
-    for name, vals in read_bpf(args.mls_file):
+    hint = 16 if args.small_bpf else (64 if args.large_bpf else 32)
+    for name, vals in read_bpf(args.mls_file, entry_size_hint=hint):
         if classifier:
             from .classify import format_report_line
 
@@ -493,17 +662,35 @@ def cmd_lf(args):
 
 def cmd_null(args):
     from .build.prepare_ref import iter_fasta
-    from .classify import build_nulldb_pml
+    from .classify import build_nulldb_pml, generate_null_reads
     from .cpu_ref.scalar import ScalarEngine
 
     ix = _load_index(args.index)
     eng = ScalarEngine(ix)
     records = list(iter_fasta(args.fasta))
-    db = build_nulldb_pml(
-        ix, lambda s: eng.query_pml(s, random_repositioning=ix.thr is None),
-        records, seed=args.seed)
-    db.save(os.path.join(args.index, "movi.pml.nulldb"))
-    _log(f"null statistics: percentile={db.percentile_value}")
+    if args.gen_reads:
+        # only generate and persist the null reads (--gen-reads,
+        # movi_parser.cpp:223)
+        path = os.path.join(args.index, "null_reads.fasta")
+        rng = np.random.default_rng(args.seed)
+        nulls = generate_null_reads(records, rng)
+        with open(path, "w") as f:
+            for name, s in nulls:
+                f.write(f">{name}\n{s.decode()}\n")
+        _log(f"wrote {len(nulls)} null reads to {path}")
+        return
+    both = not args.pml and not args.zml
+    if args.pml or both:
+        db = build_nulldb_pml(
+            ix, lambda s: eng.query_pml(
+                s, random_repositioning=ix.thr is None),
+            records, seed=args.seed)
+        db.save(os.path.join(args.index, "movi.pml.nulldb"))
+        _log(f"pml null statistics: percentile={db.percentile_value}")
+    if args.zml or both:
+        dbz = build_nulldb_pml(ix, eng.query_zml, records, seed=args.seed)
+        dbz.save(os.path.join(args.index, "movi.zml.nulldb"))
+        _log(f"zml null statistics: percentile={dbz.percentile_value}")
 
 
 def main(argv=None):
@@ -512,7 +699,7 @@ def main(argv=None):
     sub = p.add_subparsers(dest="command", required=True)
 
     b = sub.add_parser("build")
-    b.add_argument("--fasta", "-f", nargs="+", required=True)
+    b.add_argument("--fasta", "-f", nargs="+", default=None)
     b.add_argument("--index", "-i", required=True)
     b.add_argument("--type", default="regular-thresholds")
     b.add_argument("--fw", action="store_true",
@@ -533,6 +720,11 @@ def main(argv=None):
     b.add_argument("--movi-format", action="store_true",
                    help="also write a reference-compatible index.movi "
                         "(disables NT splitting for size parity)")
+    b.add_argument("--bwt-file", default="",
+                   help="build from a preprocessed BWT (+ .thr_pos) "
+                        "instead of a FASTA (movi build --preprocessed)")
+    b.add_argument("--mmap", action="store_true",
+                   help="also write a demand-pageable index.mmap/ layout")
     b.set_defaults(func=cmd_build)
 
     q = sub.add_parser("query")
@@ -549,7 +741,7 @@ def main(argv=None):
     q.add_argument("--ftab-k", type=int, default=0)
     q.add_argument("--classify", action="store_true")
     q.add_argument("--multi-classify", action="store_true")
-    q.add_argument("--min-match-len", type=int, default=0)
+    q.add_argument("--min-match-len", "--min-len", type=int, default=0)
     q.add_argument("--pvalue-scoring", action="store_true")
     q.add_argument("--lca-tree", default="",
                    help="nodes.dmp for LCA post-processing of multi-class calls")
@@ -565,15 +757,91 @@ def main(argv=None):
                    help="jax platform override (cpu/tpu)")
     q.add_argument("--lanes", type=int, default=8192)
     q.add_argument("--bin-width", type=int, default=150)
-    q.add_argument("--out-file", default="")
+    q.add_argument("--out-file", "-o", default="")
+    q.add_argument("--rpml", action="store_true",
+                   help="random repositioning PMLs (RPMLs)")
+    q.add_argument("--logs", action="store_true",
+                   help="write .costs/.scans/.fastforwards trace files")
+    q.add_argument("--mmap", action="store_true",
+                   help="memory-map the index row arrays")
+    q.add_argument("--no-output", action="store_true",
+                   help="run the query but write no output files")
+    q.add_argument("--early-stop", action="store_true",
+                   help="abort unclassified reads early (multi-classify)")
+    q.add_argument("--report-all", action="store_true",
+                   help="report every document within min-diff-frac / "
+                        "min-score-frac of the best")
+    q.add_argument("--min-diff-frac", type=float, default=0.05)
+    q.add_argument("--min-score-frac", type=float, default=0.0)
+    q.add_argument("--report-colors", action="store_true",
+                   help="write per-base color ids alongside PMLs")
+    q.add_argument("--report-color-ids", action="store_true")
+    q.add_argument("--ignore-illegal-chars", type=int, default=0,
+                   choices=[0, 1, 2],
+                   help="0=off, 1=replace with 'A', 2=replace with a "
+                        "random base")
+    q.add_argument("--multi-ftab", action="store_true",
+                   help="fall back to smaller-k ftabs when the largest "
+                        "k-mer lookup fails")
+    # accepted for command-line compatibility with the reference; the
+    # TPU engines batch reads over lanes instead of strands/threads
+    q.add_argument("--strands", "-s", type=int, default=16,
+                   help=argparse.SUPPRESS)
+    q.add_argument("--threads", "-t", type=int, default=1,
+                   help=argparse.SUPPRESS)
+    q.add_argument("--no-prefetch", "-n", action="store_true",
+                   help=argparse.SUPPRESS)
     q.set_defaults(func=cmd_query)
 
     v = sub.add_parser("view")
-    v.add_argument("--mls-file", required=True)
+    v.add_argument("--mls-file", "--bpf", required=True)
     v.add_argument("--classify", action="store_true")
     v.add_argument("--nulldb", default="")
     v.add_argument("--bin-width", type=int, default=150)
+    v.add_argument("--small-bpf", action="store_true",
+                   help="headerless files: entries are uint16")
+    v.add_argument("--large-bpf", action="store_true",
+                   help="headerless files: entries are uint64")
     v.set_defaults(func=cmd_view)
+
+    bsa = sub.add_parser("build-SA")
+    bsa.add_argument("--index", "-i", required=True)
+    bsa.add_argument("--sample-rate", type=int, default=100)
+    bsa.set_defaults(func=cmd_build_sa)
+
+    ft = sub.add_parser("ftab")
+    ft.add_argument("--index", "-i", required=True)
+    ft.add_argument("--ftab-k", type=int, required=True)
+    ft.add_argument("--multi-ftab", action="store_true",
+                    help="also build the k-2, k-4, ... fallback ftabs")
+    ft.set_defaults(func=cmd_ftab)
+
+    co = sub.add_parser("color")
+    co.add_argument("--index", "-i", required=True)
+    co.add_argument("--full", action="store_true",
+                    help="persist per-row doc_pats alongside the doc sets")
+    co.add_argument("--compress", "--freq-compress", action="store_true",
+                    help="frequency compression: keep the 2^16 most "
+                         "frequent doc sets")
+    co.add_argument("--tree-compress", action="store_true",
+                    help="hierarchical-clustering tree compression")
+    co.set_defaults(func=cmd_color)
+
+    rl = sub.add_parser("rlbwt")
+    rl.add_argument("--bwt-file", required=True)
+    rl.set_defaults(func=cmd_rlbwt)
+
+    cmr = sub.add_parser("color-move-rows")
+    cmr.add_argument("--index", "-i", required=True)
+    cmr.set_defaults(func=cmd_color_move_rows)
+
+    pr = sub.add_parser("prepare-ref")
+    pr.add_argument("--fasta", "-f", nargs="+", required=True)
+    pr.add_argument("--output", "-o", required=True)
+    pr.add_argument("--fw", action="store_true")
+    pr.add_argument("--separators", action="store_true")
+    pr.add_argument("--list", action="store_true")
+    pr.set_defaults(func=cmd_prepare_ref)
 
     ins = sub.add_parser("inspect")
     ins.add_argument("--index", "-i", required=True)
@@ -591,9 +859,25 @@ def main(argv=None):
     nl.add_argument("--index", "-i", required=True)
     nl.add_argument("--fasta", "-f", required=True)
     nl.add_argument("--seed", type=int, default=0)
+    nl.add_argument("--pml", action="store_true",
+                    help="only (re)build the PML null statistics")
+    nl.add_argument("--zml", action="store_true",
+                    help="only (re)build the ZML null statistics")
+    nl.add_argument("--gen-reads", action="store_true",
+                    help="only generate and write the null reads")
     nl.set_defaults(func=cmd_null)
 
+    for sp in (b, q, v, ins, lf, nl, bsa, ft, co, rl, cmr, pr):
+        sp.add_argument("--verbose", action="store_true",
+                        help=argparse.SUPPRESS)
+        sp.add_argument("--validate-flags", action="store_true",
+                        help="parse and validate the flags, then exit "
+                             "(used by launcher-style orchestration)")
+
     args = p.parse_args(argv)
+    if getattr(args, "validate_flags", False):
+        print("flags OK")
+        return
     if args.filter if hasattr(args, "filter") else False:
         args.classify = True
     args.func(args)

@@ -118,17 +118,48 @@ class ColorTable:
         return flat, offsets
 
 
+def load_document_info(index_dir: str) -> DocumentInfo:
+    """Read ref.fa.doc_offsets (+ optional ref.fa.doc_ids taxon ids), like
+    load_document_info (move_structure_io.cpp:643-708)."""
+    import os
+
+    offsets_path = os.path.join(index_dir, "ref.fa.doc_offsets")
+    if not os.path.exists(offsets_path):
+        raise FileNotFoundError(f"doc_offsets file not found at {offsets_path}")
+    doc_offsets = np.loadtxt(offsets_path, dtype=np.int64, ndmin=1)
+    ids_path = os.path.join(index_dir, "ref.fa.doc_ids")
+    taxon_ids = (np.loadtxt(ids_path, dtype=np.int64, ndmin=1)
+                 if os.path.exists(ids_path) else None)
+    return DocumentInfo.create(doc_offsets, taxon_ids)
+
+
 def build_color_table(ix: MoveIndex, sa: np.ndarray,
                       doc_info: DocumentInfo) -> ColorTable:
-    """doc_pats from the suffix array + per-run doc sets."""
-    n = ix.length
+    """doc_pats from the build-time suffix array + per-run doc sets."""
     ends = doc_info.doc_offsets
     # document of each text position, then per BWT row via SA
     doc_of_pos = np.searchsorted(ends, sa, side="right")
     doc_of_pos = np.minimum(doc_of_pos, doc_info.num_docs - 1)
     doc_pats = doc_info.doc_ids[doc_of_pos].astype(np.uint16)
+    return color_table_from_doc_pats(ix, doc_pats, doc_info)
 
-    # per-run unique doc sets
+
+def build_color_table_from_index(ix: MoveIndex,
+                                 doc_info: DocumentInfo) -> ColorTable:
+    """Standalone `color` subcommand path: derive doc_pats from the index
+    alone via an O(n) LF sweep (build_doc_pats,
+    move_structure_color.cpp:4-24), no suffix array needed."""
+    from .index.sweeps import lf_sweep
+
+    _, doc_pats = lf_sweep(ix, doc_offsets=doc_info.doc_offsets,
+                           doc_ids=doc_info.doc_ids)
+    return color_table_from_doc_pats(ix, doc_pats, doc_info)
+
+
+def color_table_from_doc_pats(ix: MoveIndex, doc_pats: np.ndarray,
+                              doc_info: DocumentInfo) -> ColorTable:
+    """Per-run unique sorted doc sets, deduplicated (build_doc_sets,
+    move_structure_color.cpp:27-72)."""
     r = ix.r
     run_of_p = np.repeat(np.arange(r, dtype=np.int64),
                          ix.n_arr.astype(np.int64))
@@ -186,16 +217,28 @@ class ColorEngine(ScalarEngine):
     """Scalar multi-class classification engine."""
 
     def __init__(self, ix: MoveIndex, ct: ColorTable,
-                 min_match_len: int = 0, pvalue_scoring: bool = False):
+                 min_match_len: int = 0, pvalue_scoring: bool = False,
+                 report_all: bool = False, min_diff_frac: float = 0.05,
+                 min_score_frac: float = 0.0, report_colors: bool = False,
+                 early_stop: bool = False):
         super().__init__(ix)
         self.ct = ct
         self.min_match_len = min_match_len
         self.pvalue_scoring = pvalue_scoring
+        self.report_all = report_all
+        self.min_diff_frac = min_diff_frac
+        self.min_score_frac = min_score_frac
+        self.report_colors = report_colors
+        self.early_stop = early_stop
+        self.last_colors: List[int] = []
 
     def query_pml_multiclass(self, read: bytes) -> Tuple[List[int], str]:
         """PML with per-base doc-set voting
         (move_structure_query.cpp:252-471).  Returns (pmls, csv_cell)
-        where csv_cell is "primary,secondary" in taxon ids."""
+        where csv_cell is "primary,secondary" in taxon ids.  With
+        report_colors, self.last_colors holds the per-base color ids
+        (sentinel = num unique sets for skipped bases;
+        read_processor.cpp:171-186)."""
         ix = self.ix
         ct = self.ct
         di = ct.doc_info
@@ -204,6 +247,8 @@ class ColorEngine(ScalarEngine):
         scores = np.zeros(num_sp)
         best = -1
         second = -1
+        colors_count = 0
+        self.last_colors = []
         r_arr = np.frombuffer(read, dtype=np.uint8)
         idx = ix.r - 1
         offset = int(ix.n_arr[idx]) - 1
@@ -229,9 +274,12 @@ class ColorEngine(ScalarEngine):
             offset, idx, _ = self.lf_move(offset, idx)
             # voting happens after the LF step (reference order :361-436)
             if match_len >= self.min_match_len:
+                colors_count += 1
                 color_id = int(ct.doc_set_inds[idx])
                 if color_id >= len(ct.unique_doc_sets):
-                    continue  # compressed away
+                    continue  # compressed away (skipped before add_color)
+                if self.report_colors:
+                    self.last_colors.append(color_id)
                 for doc in ct.unique_doc_sets[color_id]:
                     doc = int(doc)
                     if not self.pvalue_scoring:
@@ -253,16 +301,47 @@ class ColorEngine(ScalarEngine):
                                 elif (second < 0
                                       or scores[doc] > scores[second]):
                                     second = doc
+            elif self.report_colors:
+                # skipped base sentinel (read_processor.cpp:180-185)
+                self.last_colors.append(len(ct.unique_doc_sets))
 
-        # report cell (move_structure_query.cpp:439-471)
+            # early stop for unclassified reads: past the midpoint, every
+            # 100 bases, abort if the running PML mean is below the
+            # classification threshold (read_processor.cpp:240-250)
+            if self.early_stop:
+                p1 = pos - 1
+                L = len(r_arr)
+                if 0 <= p1 < L / 2 and p1 % 100 == 0:
+                    if sum_ml / (L - p1) < UNCLASSIFIED_THRESHOLD:
+                        break
+
+        # report cell (move_structure_query.cpp:439-471 for the two-best
+        # format; read_processor.cpp:489-561 for --report-all)
+        vals = scores if self.pvalue_scoring else cnts
         pml_mean = sum_ml / max(len(r_arr), 1)
         if pml_mean < UNCLASSIFIED_THRESHOLD or best < 0:
-            cell = "0,0"
+            cell = "0" if self.report_all else "0,0"
+        elif self.report_all:
+            parts = []
+            if self.min_score_frac == 0:
+                # min-diff-frac mode: always write the best, then every
+                # other doc within min_diff_frac of it
+                parts.append(str(di.to_taxon_id[best]))
+                for i in range(num_sp):
+                    if i != best and (vals[best] - vals[i]
+                                      ) < self.min_diff_frac * vals[best]:
+                        parts.append(str(di.to_taxon_id[i]))
+                cell = ",".join(parts)
+            else:
+                # min-score-frac mode: every doc with enough of the votes
+                for i in range(num_sp):
+                    if vals[i] >= self.min_score_frac * colors_count:
+                        parts.append(str(di.to_taxon_id[i]))
+                cell = "," + ",".join(parts) if parts else "0"
         elif second < 0:
             cell = f"{di.to_taxon_id[best]},0"
         else:
-            b = cnts[best] if not self.pvalue_scoring else scores[best]
-            s = cnts[second] if not self.pvalue_scoring else scores[second]
+            b, s = vals[best], vals[second]
             if (b - s) < 0.05 * b:
                 cell = f"{di.to_taxon_id[best]},{di.to_taxon_id[second]}"
             else:

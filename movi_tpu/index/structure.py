@@ -128,9 +128,8 @@ class MoveIndex:
         return self._next_s
 
     # ------------------------------------------------------------------
-    def save(self, path: str):
-        np.savez_compressed(
-            path,
+    def _to_arrays(self) -> dict:
+        return dict(
             mode=np.frombuffer(self.mode.encode(), dtype=np.uint8),
             meta=np.array(
                 [self.length, self.r, self.original_r, self.end_bwt_idx,
@@ -160,9 +159,43 @@ class MoveIndex:
             sa_rate=np.array([self.sa_sample_rate], dtype=np.int64),
         )
 
+    def save(self, path: str):
+        np.savez_compressed(path, **self._to_arrays())
+
+    def save_mmap(self, dirpath: str):
+        """Write the index as one raw .npy per array so queries can map
+        the big tables instead of loading them — the analogue of the
+        reference's optional mmap of rlbwt.movi
+        (move_structure_io.cpp:361-397, --mmap)."""
+        import os
+
+        os.makedirs(dirpath, exist_ok=True)
+        for k, v in self._to_arrays().items():
+            np.save(os.path.join(dirpath, f"{k}.npy"), v)
+
+    @classmethod
+    def load_mmap(cls, dirpath: str) -> "MoveIndex":
+        """Load a save_mmap() directory with the row arrays memory-mapped
+        read-only (demand-paged, like the reference's --mmap)."""
+        import os
+
+        class _Dir:
+            files = [f[:-4] for f in os.listdir(dirpath)
+                     if f.endswith(".npy")]
+
+            def __getitem__(self, k):
+                return np.load(os.path.join(dirpath, f"{k}.npy"),
+                               mmap_mode="r")
+
+        return cls._from_arrays(_Dir())
+
     @classmethod
     def load(cls, path: str) -> "MoveIndex":
         z = np.load(path, allow_pickle=False)
+        return cls._from_arrays(z)
+
+    @classmethod
+    def _from_arrays(cls, z) -> "MoveIndex":
         mode = z["mode"].tobytes().decode()
         length, r, original_r, end_bwt_idx, separators = (int(x) for x in z["meta"])
         thr = z["thr"]

@@ -60,14 +60,23 @@ class BPFWriter:
         self.close()
 
 
-def read_bpf(path: str):
-    """Read a BPF file -> list of (name, values)."""
+def read_bpf(path: str, entry_size_hint: int = 32):
+    """Read a BPF file -> list of (name, values).
+
+    Headerless legacy files (pre-BPFHeader) fall back to
+    `entry_size_hint`: 32 by default, 16/64 via the reference's
+    --small-bpf/--large-bpf view flags (movi_parser.cpp:185-186)."""
     out = []
     with open(path, "rb") as f:
         hdr = f.read(12)
-        magic, major, minor, patch, entry_size, _ = struct.unpack(
-            "<IBBBBH2x", hdr)
-        assert magic == BPF_MAGIC, "not a BPF file"
+        if len(hdr) == 12:
+            magic, major, minor, patch, entry_size, _ = struct.unpack(
+                "<IBBBBH2x", hdr)
+        else:
+            magic = 0
+        if magic != BPF_MAGIC:
+            f.seek(0)
+            entry_size = entry_size_hint
         fmt = {16: "H", 32: "I", 64: "Q"}[entry_size]
         width = entry_size // 8
         while True:

@@ -210,4 +210,38 @@ int movi_thresholds(const uint8_t* heads, const int64_t* starts,
   return 0;
 }
 
+// O(n) LF-cycle sweep over the move table, starting at run 0 offset 0
+// (BWT row 0, whose SA value is tot_len - 1).  Visits every BWT position
+// exactly once, decrementing the SA value each step; optionally fills
+//   - out_sa[row / rate] = SA value at rows with row % rate == 0
+//     (find_sampled_SA_entries, move_structure_build.cpp:1173-1212)
+//   - out_doc[row] = doc id of the document containing the SA value
+//     (build_doc_pats, move_structure_color.cpp:4-24)
+// Pass rate = 0 to skip SA sampling, out_doc = nullptr to skip doc_pats.
+int movi_lf_sweep(const int32_t* n, const int32_t* off, const int64_t* id,
+                  const int64_t* all_p, int64_t r, int64_t tot_len,
+                  int64_t rate, int64_t* out_sa,
+                  const int64_t* doc_offsets, const int32_t* doc_ids,
+                  int64_t num_docs, uint16_t* out_doc) {
+  int64_t offset = 0, index = 0, sa_val = tot_len;
+  int64_t doc_ind = num_docs - 1;
+  for (int64_t i = 0; i < tot_len; i++) {
+    sa_val--;
+    int64_t row = all_p[index] + offset;
+    if (out_doc) {
+      while (doc_ind > 0 && sa_val < doc_offsets[doc_ind - 1]) doc_ind--;
+      out_doc[row] = (uint16_t)doc_ids[doc_ind];
+    }
+    if (out_sa && rate > 0 && row % rate == 0) out_sa[row / rate] = sa_val;
+    // LF_move with fast-forward (move_structure.cpp:59-87)
+    offset += off[index];
+    index = id[index];
+    while (index < r - 1 && offset >= n[index]) {
+      offset -= n[index];
+      index++;
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -277,6 +277,40 @@ def cmd_query(args):
                 _log(f"wrote {out}")
             return
 
+    if qt == "mems" and not args.no_jax and args.min_mem_length >= 2:
+        # device BML MEM engine (bounded ACGT index required)
+        lf_abs = ix.all_p[ix.id_arr] + ix.offset_arr
+        e = lf_abs + ix.n_arr - 1
+        id_end = np.searchsorted(ix.all_p[:-1], e, side="right") - 1
+        if (int((id_end - ix.id_arr).max()) <= 1
+                and bytes(ix.alphabet) == b"ACGT"):
+            import jax as _jax
+
+            if args.platform:
+                _jax.config.update("jax_platforms", args.platform)
+            from .engine.fused_mem import (FusedMemEngine,
+                                           build_fused_mem_index)
+            from .io.fastx import make_batches as _mb
+            from .io.outputs import mem_lines
+
+            _log("using the fused MEM engine")
+            eng = FusedMemEngine(build_fused_mem_index(ix),
+                                 args.min_mem_length)
+            lines = []
+            for batch in _mb(reads, lanes=args.lanes):
+                for name, mems in zip(batch.names, eng.query_batch(batch)):
+                    lines.extend(mem_lines(name, mems))
+            if args.stdout:
+                for ln in lines:
+                    print(ln)
+            elif not args.no_output:
+                out = f"{args.read}.{ix.mode}.mems"
+                with open(out, "w") as f:
+                    for ln in lines:
+                        f.write(ln + "\n")
+                _log(f"wrote {out}")
+            return
+
     if qt in ("mems", "kmers"):
         from .cpu_ref.advanced import AdvancedEngine
         from .io.outputs import mem_lines

@@ -1,0 +1,314 @@
+"""Device MEM finder (BML algorithm, mem_finder.cpp:29-103).
+
+Vectorizes AdvancedEngine.query_mems (min_mem_length >= 2, no ftab) as a
+lockstep per-lane state machine, like the k-mer engine:
+
+  INIT  anchor a length-L window at pos; bidirectional init on its last
+        char (initialize_bidirectional_search,
+        move_structure_search.cpp:232-259)
+  BACK  extend_left over the remaining L-1 window chars; a failure at
+        step j re-anchors at pos+L-1-j
+  FWD   forward-extend to maximality: plain backward steps of the
+        complemented read char on the rc interval
+  NEXT  after emitting (start, end, count), backward-scan from the MEM
+        end to the next candidate left end (mem_finder.cpp:83-101)
+
+Every tick performs exactly one fused backward-search step (2 record
+gathers) on a phase-selected (interval, char).  The extend_bidirectional
+"skip" count (move_structure_search.cpp:66-120) -- rows of the fw
+interval whose complemented character precedes the threshold char, walked
+run-by-run on the CPU -- collapses into two gathers of a precomputed
+per-(threshold, run) prefix table, and the rc-interval reposition becomes
+a device searchsorted into all_p.
+
+Bit-exact against AdvancedEngine.query_mems with ftab_k=0
+(tests/test_fused_mem.py).  The reference's ftab initialization only
+accelerates scanning; it does not change the emitted MEMs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .fused_search import (FusedSearchIndex, _init_interval,
+                           build_fused_search_index, fused_bs_step)
+from ..index.structure import MoveIndex
+from ..io.fastx import ReadBatch
+
+# phases
+INIT, BACK, FWD, NEXT, DONE = 0, 1, 2, 3, 4
+
+
+@dataclass
+class FusedMemIndex:
+    si: FusedSearchIndex
+    # skip_rec[t*r + run] = (P, u): P = weighted rows before the run,
+    # u = per-row weight (comp(char(run)) < t, or the '$' run)
+    skip_rec: jax.Array   # int32 [sigma*r, 2]
+    all_p64: jax.Array    # int32 [r+1] for searchsorted reposition
+
+
+jax.tree_util.register_dataclass(
+    FusedMemIndex, data_fields=["si", "skip_rec", "all_p64"],
+    meta_fields=[])
+
+
+def build_fused_mem_index(ix: MoveIndex) -> FusedMemIndex:
+    si = build_fused_search_index(ix)
+    r, sigma = ix.r, ix.sigma
+    assert bytes(ix.alphabet) == b"ACGT", (
+        "device MEM engine requires the ACGT alphabet (complement is "
+        "index-reversal)")
+    assert int(ix.n_arr[ix.end_bwt_idx]) == 1, (
+        "the '$' run must be a single row")
+    n64 = ix.n_arr.astype(np.int64)
+    comp_c = (sigma - 1 - ix.c_arr).astype(np.int64)  # complemented chars
+    skip = np.zeros((sigma, r, 2), dtype=np.int64)
+    for t in range(sigma):
+        u = (comp_c < t).astype(np.int64)
+        u[ix.end_bwt_idx] = 1  # '$' rows always precede (skip += 1)
+        w = u * n64
+        w[ix.end_bwt_idx] = 1
+        P = np.concatenate([[0], np.cumsum(w)[:-1]])
+        skip[t, :, 0] = P
+        skip[t, :, 1] = u
+    return FusedMemIndex(
+        si=si,
+        skip_rec=jnp.asarray(skip.reshape(sigma * r, 2).astype(np.int32)),
+        all_p64=si.all_p)
+
+
+def _resolve(all_p, abs_pos):
+    """(run, offset) of an absolute BWT row (the unbounded fast_forward
+    as a fixed-depth searchsorted, SURVEY.md 'hard parts')."""
+    run = jnp.searchsorted(all_p, abs_pos, side="right").astype(jnp.int32) - 1
+    return run, abs_pos - jnp.take(all_p, run, axis=0)
+
+
+def _count(all_p, rs, os_, re, oe):
+    return (jnp.take(all_p, re, axis=0) + oe
+            - jnp.take(all_p, rs, axis=0) - os_ + 1)
+
+
+def make_mem_state(lanes: int, W: int, lengths: jax.Array, L: int):
+    z = jnp.zeros((lanes,), jnp.int32)
+    return dict(
+        phase=jnp.where(lengths >= L, INIT, DONE).astype(jnp.int32),
+        pos=z, jc=z, end=z,
+        frs=z, fos=z, fre=z, foe=z,
+        rrs=z, ros=z, rre=z, roe=z,
+        ends=jnp.zeros((lanes, W), jnp.int32),
+        counts=jnp.zeros((lanes, W), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _mem_scan(mi: FusedMemIndex, alphas: jax.Array, state, L: int,
+              ticks: int):
+    """alphas: int32 [lanes, W] in READ order (-1 illegal); lengths
+    folded into the initial phase.  Resumable."""
+    si = mi.si
+    sigma = si.sigma
+    r = si.r
+    lanes, W = alphas.shape
+    lane_iota = jnp.arange(lanes)
+
+    def char_at(p):
+        return alphas[lane_iota, jnp.clip(p, 0, W - 1)]
+
+    m = jnp.sum(alphas > -2, axis=1).astype(jnp.int32)  # per-lane length
+
+    def tick(state, _):
+        phase = state["phase"]
+        pos, jc, end = state["pos"], state["jc"], state["end"]
+        frs, fos, fre, foe = (state["frs"], state["fos"], state["fre"],
+                              state["foe"])
+        rrs, ros, rre, roe = (state["rrs"], state["ros"], state["rre"],
+                              state["roe"])
+
+        # ---------------- INIT: anchor the window, init bidirectional
+        is_init = phase == INIT
+        past_end = pos + L > m
+        c0 = char_at(pos + L - 1)
+        i_frs, i_fos, i_fre, i_foe = _init_interval(si, c0)
+        c0r = jnp.where(c0 >= 0, sigma - 1 - c0, -1)
+        i_rrs, i_ros, i_rre, i_roe = _init_interval(si, c0r)
+        do_init = is_init & ~past_end & (c0 >= 0)
+        # illegal window-end char: the fw init interval is empty, so the
+        # first extend_left fails at j=0 and the scan re-anchors at
+        # init_pos - 0 + 1 = pos + L - 1 (mem_finder.cpp:58-60 with the
+        # canonical empty interval)
+        init_illegal = is_init & ~past_end & (c0 < 0)
+        frs = jnp.where(do_init, i_frs, frs)
+        fos = jnp.where(do_init, i_fos, fos)
+        fre = jnp.where(do_init, i_fre, fre)
+        foe = jnp.where(do_init, i_foe, foe)
+        rrs = jnp.where(do_init, i_rrs, rrs)
+        ros = jnp.where(do_init, i_ros, ros)
+        rre = jnp.where(do_init, i_rre, rre)
+        roe = jnp.where(do_init, i_roe, roe)
+        jc = jnp.where(do_init, 0, jc)
+        phase = jnp.where(do_init, BACK, phase)
+        phase = jnp.where(is_init & past_end, DONE, phase)
+        pos = jnp.where(init_illegal, pos + L - 1, pos)
+
+        # ---------------- one backward step, phase-selected
+        in_back = phase == BACK
+        in_fwd = phase == FWD
+        in_next = phase == NEXT
+        # BACK char: seq[pos+L-2-jc]; FWD char: comp(seq[jc]) stepping rc;
+        # NEXT char: seq[end-1-jc]
+        c_back = char_at(pos + L - 2 - jc)
+        # FWD complements the raw read char; unknown chars complement to
+        # 'A' (utils.cpp:87-91), so N extends as 'A' here.  -3 marks '#'
+        # (its own complement, never in an ACGT alphabet).
+        c_fwd_raw = char_at(jc)
+        c_fwd = jnp.where(c_fwd_raw >= 0, sigma - 1 - c_fwd_raw,
+                          jnp.where(c_fwd_raw == -1, 0, -1))
+        c_next = char_at(end - 1 - jc)
+        a = jnp.where(in_back, c_back,
+                      jnp.where(in_fwd, c_fwd, c_next))
+        # FWD with i >= m: treated as an immediate failed step
+        fwd_at_end = in_fwd & (jc >= m)
+        a = jnp.where(fwd_at_end, -1, a)
+
+        iv_rs = jnp.where(in_fwd, rrs, frs)
+        iv_os = jnp.where(in_fwd, ros, fos)
+        iv_re = jnp.where(in_fwd, rre, fre)
+        iv_oe = jnp.where(in_fwd, roe, foe)
+        active = in_back | in_fwd | in_next
+        nrs, nos, nre, noe, empty = fused_bs_step(
+            si, iv_rs, iv_os, iv_re, iv_oe, jnp.where(active, a, -1))
+        ok = active & ~empty
+
+        # ---------------- BACK: extend_left bookkeeping (rc update)
+        back_ok = in_back & ok
+        t = jnp.clip(sigma - 1 - c_back, 0, sigma - 1)
+        sr_s = jnp.take(mi.skip_rec, t * r + jnp.minimum(frs, r - 1), axis=0)
+        sr_e = jnp.take(mi.skip_rec, t * r + jnp.minimum(fre, r - 1), axis=0)
+        skip = (sr_e[:, 0] + sr_e[:, 1] * (foe + 1)
+                - sr_s[:, 0] - sr_s[:, 1] * fos)
+        new_cnt = _count(si.all_p, nrs, nos, nre, noe)
+        rc_start_abs = jnp.take(si.all_p, rrs, axis=0) + ros + skip
+        n_rrs, n_ros = _resolve(si.all_p, rc_start_abs)
+        n_rre, n_roe = _resolve(si.all_p, rc_start_abs + new_cnt - 1)
+
+        frs2 = jnp.where(back_ok, nrs, frs)
+        fos2 = jnp.where(back_ok, nos, fos)
+        fre2 = jnp.where(back_ok, nre, fre)
+        foe2 = jnp.where(back_ok, noe, foe)
+        rrs2 = jnp.where(back_ok, n_rrs, rrs)
+        ros2 = jnp.where(back_ok, n_ros, ros)
+        rre2 = jnp.where(back_ok, n_rre, rre)
+        roe2 = jnp.where(back_ok, n_roe, roe)
+        # BACK failure at step jc: re-anchor at (pos+L-2) - jc + 1
+        back_fail = in_back & ~ok
+        pos2 = jnp.where(back_fail, pos + L - 1 - jc, pos)
+        phase2 = jnp.where(back_fail, INIT, phase)
+        # BACK completion: window fully matched -> FWD from i = pos+L
+        jc2 = jnp.where(back_ok, jc + 1, jc)
+        back_done = back_ok & (jc2 >= L - 1)
+        phase2 = jnp.where(back_done, FWD, phase2)
+        jc2 = jnp.where(back_done, pos + L, jc2)
+
+        # ---------------- FWD: plain steps on rc; emit on failure
+        fwd_ok = in_fwd & ok
+        rrs2 = jnp.where(fwd_ok, nrs, rrs2)
+        ros2 = jnp.where(fwd_ok, nos, ros2)
+        rre2 = jnp.where(fwd_ok, nre, rre2)
+        roe2 = jnp.where(fwd_ok, noe, roe2)
+        jc2 = jnp.where(fwd_ok, jc + 1, jc2)
+        fwd_fail = in_fwd & ~ok
+        mem_count = _count(si.all_p, rrs, ros, rre, roe)
+        ends = state["ends"].at[lane_iota, jnp.clip(pos, 0, W - 1)].add(
+            jnp.where(fwd_fail, jc, 0))
+        counts = state["counts"].at[lane_iota, jnp.clip(pos, 0, W - 1)].add(
+            jnp.where(fwd_fail, mem_count, 0))
+        # after emitting at end = i: NEXT scan (or DONE at read end)
+        end2 = jnp.where(fwd_fail, jc, end)
+        at_read_end = fwd_fail & (jc >= m)
+        phase2 = jnp.where(fwd_fail, NEXT, phase2)
+        phase2 = jnp.where(at_read_end, DONE, phase2)
+        # NEXT init: fw = init(seq[end]) (init_search at end_pos), jc = 0
+        go_next = fwd_fail & ~at_read_end
+        c_end = char_at(end2)
+        nx_rs, nx_os, nx_re, nx_oe = _init_interval(si, c_end)
+        # illegal char at end: the init interval is empty -> the first
+        # NEXT step fails with jc=0 -> pos = end
+        frs2 = jnp.where(go_next, nx_rs, frs2)
+        fos2 = jnp.where(go_next, nx_os, fos2)
+        fre2 = jnp.where(go_next, nx_re, fre2)
+        foe2 = jnp.where(go_next, nx_oe, foe2)
+        jc2 = jnp.where(go_next, 0, jc2)
+        next_init_illegal = go_next & (c_end < 0)
+
+        # ---------------- NEXT: backward-scan to the next candidate
+        next_ok = in_next & ok
+        # the scan is bounded: jc <= end - pos - 2
+        exhausted = in_next & (jc > end - pos - 2)
+        next_fail = (in_next & ~ok & ~exhausted) | next_init_illegal
+        frs2 = jnp.where(next_ok & ~exhausted, nrs, frs2)
+        fos2 = jnp.where(next_ok & ~exhausted, nos, fos2)
+        fre2 = jnp.where(next_ok & ~exhausted, nre, fre2)
+        foe2 = jnp.where(next_ok & ~exhausted, noe, foe2)
+        jc2 = jnp.where(next_ok & ~exhausted, jc + 1, jc2)
+        stop = next_fail | exhausted
+        pos2 = jnp.where(stop & in_next, end - jc, pos2)
+        pos2 = jnp.where(next_init_illegal, end2, pos2)
+        phase2 = jnp.where(stop | next_init_illegal, INIT, phase2)
+
+        new_state = dict(phase=phase2, pos=pos2, jc=jc2, end=end2,
+                         frs=frs2, fos=fos2, fre=fre2, foe=foe2,
+                         rrs=rrs2, ros=ros2, rre=rre2, roe=roe2,
+                         ends=ends, counts=counts)
+        return new_state, None
+
+    state, _ = jax.lax.scan(tick, state, None, length=ticks)
+    return state, jnp.all(state["phase"] == DONE)
+
+
+class FusedMemEngine:
+    """Batched device MEMs.  Results identical to
+    AdvancedEngine.query_mems(seq, L) with ftab_k=0, for L >= 2."""
+
+    def __init__(self, mi: FusedMemIndex, min_mem_length: int):
+        assert min_mem_length >= 2, "use query_all_mems for L <= 1"
+        self.mi = mi
+        self.L = min_mem_length
+
+    def query_batch(self, batch: ReadBatch
+                    ) -> List[List[Tuple[int, int, int]]]:
+        W, lanes = batch.width, batch.lanes
+        alphas = np.full((lanes, W), -2, dtype=np.int32)
+        amap = self.mi.si.alphamap_query.copy()
+        amap[ord("#")] = -3  # '#' complements to itself (never matches)
+        for i in range(lanes):
+            Li = int(batch.lengths[i])
+            alphas[i, :Li] = amap[
+                np.frombuffer(batch.seqs[i, W - Li:].tobytes(), np.uint8)]
+        al = jnp.asarray(alphas)
+        state = make_mem_state(
+            lanes, W, jnp.asarray(batch.lengths.astype(np.int32)), self.L)
+        ticks = 4 * W + 64
+        done = False
+        for _ in range(W):
+            state, d = _mem_scan(self.mi, al, state, self.L, ticks)
+            if bool(d):
+                done = True
+                break
+        assert done, "MEM scan did not converge"
+        ends = np.asarray(state["ends"])
+        counts = np.asarray(state["counts"])
+        res = []
+        for i in range(lanes):
+            nz = np.flatnonzero(ends[i])
+            res.append([(int(p), int(ends[i][p]), int(counts[i][p]))
+                        for p in nz])
+        return res

@@ -203,24 +203,60 @@ def cmd_query(args):
 
         ct = ColorTable.load(os.path.join(args.index, "colors.npz"))
         report_colors = args.report_colors or args.report_color_ids
-        eng = ColorEngine(ix, ct, min_match_len=args.min_match_len,
-                          pvalue_scoring=args.pvalue_scoring,
-                          report_all=args.report_all,
-                          min_diff_frac=args.min_diff_frac,
-                          min_score_frac=args.min_score_frac,
-                          report_colors=report_colors,
-                          early_stop=args.early_stop)
         out_path = (args.out_file
                     or f"{args.read}.{ix.mode}.multiclass.csv")
         lines = []
         color_lines = []
-        for name, seq in reads:
-            pmls, cell = eng.query_pml_multiclass(seq)
-            lines.append(f"{name},{cell}")
-            if report_colors:
-                color_lines.append(
-                    ">" + name + "\n"
-                    + " ".join(str(c) for c in reversed(eng.last_colors)))
+
+        # device path: the fused scan additionally emits per-base color
+        # ids; host tallies votes (engine/fused_color.py).  early-stop
+        # aborts mid-read, so it stays on the scalar path.
+        lf_abs = ix.all_p[ix.id_arr] + ix.offset_arr
+        e = lf_abs + ix.n_arr - 1
+        id_end = np.searchsorted(ix.all_p[:-1], e, side="right") - 1
+        bounded = int((id_end - ix.id_arr).max()) <= 1
+        use_device = (not args.no_jax and not args.early_stop and bounded
+                      and ix.thr is not None)
+        if use_device:
+            import jax as _jax
+
+            if args.platform:
+                _jax.config.update("jax_platforms", args.platform)
+            from .engine.fused_color import (FusedColorEngine,
+                                             build_fused_color_index)
+            from .io.fastx import make_batches as _mb
+
+            _log("using the fused color engine")
+            eng = FusedColorEngine(
+                build_fused_color_index(ix, ct), ct,
+                min_match_len=args.min_match_len,
+                pvalue_scoring=args.pvalue_scoring,
+                report_all=args.report_all,
+                min_diff_frac=args.min_diff_frac,
+                min_score_frac=args.min_score_frac)
+            for batch in _mb(reads, lanes=args.lanes):
+                for name, (pmls, cell, cols) in zip(batch.names,
+                                                    eng.query_batch(batch)):
+                    lines.append(f"{name},{cell}")
+                    if report_colors:
+                        color_lines.append(
+                            ">" + name + "\n"
+                            + " ".join(str(c) for c in reversed(cols)))
+        else:
+            eng = ColorEngine(ix, ct, min_match_len=args.min_match_len,
+                              pvalue_scoring=args.pvalue_scoring,
+                              report_all=args.report_all,
+                              min_diff_frac=args.min_diff_frac,
+                              min_score_frac=args.min_score_frac,
+                              report_colors=report_colors,
+                              early_stop=args.early_stop)
+            for name, seq in reads:
+                pmls, cell = eng.query_pml_multiclass(seq)
+                lines.append(f"{name},{cell}")
+                if report_colors:
+                    color_lines.append(
+                        ">" + name + "\n"
+                        + " ".join(str(c) for c in reversed(eng.last_colors)))
         if report_colors and not args.no_output:
             cpath = f"{args.read}.{ix.mode}.colors"
             with open(cpath, "w") as f:

@@ -315,35 +315,42 @@ class ColorEngine(ScalarEngine):
                     if sum_ml / (L - p1) < UNCLASSIFIED_THRESHOLD:
                         break
 
-        # report cell (move_structure_query.cpp:439-471 for the two-best
-        # format; read_processor.cpp:489-561 for --report-all)
         vals = scores if self.pvalue_scoring else cnts
         pml_mean = sum_ml / max(len(r_arr), 1)
-        if pml_mean < UNCLASSIFIED_THRESHOLD or best < 0:
-            cell = "0" if self.report_all else "0,0"
-        elif self.report_all:
-            parts = []
-            if self.min_score_frac == 0:
-                # min-diff-frac mode: always write the best, then every
-                # other doc within min_diff_frac of it
-                parts.append(str(di.to_taxon_id[best]))
-                for i in range(num_sp):
-                    if i != best and (vals[best] - vals[i]
-                                      ) < self.min_diff_frac * vals[best]:
-                        parts.append(str(di.to_taxon_id[i]))
-                cell = ",".join(parts)
-            else:
-                # min-score-frac mode: every doc with enough of the votes
-                for i in range(num_sp):
-                    if vals[i] >= self.min_score_frac * colors_count:
-                        parts.append(str(di.to_taxon_id[i]))
-                cell = "," + ",".join(parts) if parts else "0"
-        elif second < 0:
-            cell = f"{di.to_taxon_id[best]},0"
-        else:
-            b, s = vals[best], vals[second]
-            if (b - s) < 0.05 * b:
-                cell = f"{di.to_taxon_id[best]},{di.to_taxon_id[second]}"
-            else:
-                cell = f"{di.to_taxon_id[best]},0"
+        cell = format_multiclass_cell(
+            vals, best, second, colors_count, pml_mean, di,
+            report_all=self.report_all, min_diff_frac=self.min_diff_frac,
+            min_score_frac=self.min_score_frac)
         return out, cell
+
+
+def format_multiclass_cell(vals, best, second, colors_count, pml_mean, di,
+                           report_all=False, min_diff_frac=0.05,
+                           min_score_frac=0.0) -> str:
+    """CSV report cell (move_structure_query.cpp:439-471 for the two-best
+    format; read_processor.cpp:489-561 for --report-all)."""
+    num_sp = di.num_species
+    if pml_mean < UNCLASSIFIED_THRESHOLD or best < 0:
+        return "0" if report_all else "0,0"
+    if report_all:
+        parts = []
+        if min_score_frac == 0:
+            # min-diff-frac mode: always write the best, then every
+            # other doc within min_diff_frac of it
+            parts.append(str(di.to_taxon_id[best]))
+            for i in range(num_sp):
+                if i != best and (vals[best] - vals[i]
+                                  ) < min_diff_frac * vals[best]:
+                    parts.append(str(di.to_taxon_id[i]))
+            return ",".join(parts)
+        # min-score-frac mode: every doc with enough of the votes
+        for i in range(num_sp):
+            if vals[i] >= min_score_frac * colors_count:
+                parts.append(str(di.to_taxon_id[i]))
+        return "," + ",".join(parts) if parts else "0"
+    if second < 0:
+        return f"{di.to_taxon_id[best]},0"
+    b, s = vals[best], vals[second]
+    if (b - s) < 0.05 * b:
+        return f"{di.to_taxon_id[best]},{di.to_taxon_id[second]}"
+    return f"{di.to_taxon_id[best]},0"

@@ -1,0 +1,211 @@
+"""Device Movi Color engine: multi-class classification on TPU.
+
+The reference's multi-classify runs inside the prefetch query loop: per
+base, after the LF step, the run's doc set votes for its documents and
+best/second-best are tracked online (read_processor.cpp:122-186;
+move_structure_query.cpp:373-470).
+
+TPU split of that work:
+
+  device   the fused single-gather PML scan (engine/fused.py) additionally
+           gathers each base's color id (doc_set_inds[idx]) -- one extra
+           4-byte gather per base -- and emits [W, lanes] (ml, color_id).
+  host     a vectorized vote tally over the emitted matrices.  The online
+           (best, second) tracking is order-dependent under ties; it is
+           reconstructed exactly from two per-document aggregates:
+             cnt[d]   final vote count
+             last[d]  global step of d's final vote
+                      (step = base * max_set_width + member position,
+                       mirroring the sequential member loop over the
+                       sorted doc set)
+           best   = first doc to attain M  = argmin last among cnt == M
+           second = first doc to attain M2 = argmin last among the rest
+           (a doc's count only grows, so `last` IS the step it attained
+           its final count; "first to attain the running maximum" is
+           exactly the reference's `cnts[doc] > cnts[best]` update).
+
+Bit-exact against the scalar ColorEngine across report-all /
+min-diff-frac / min-score-frac / pvalue-scoring / min-match-len
+(tests/test_fused_color.py).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .fused import FusedIndex, build_fused_index, fused_pml_step
+from ..color import (ColorTable, format_multiclass_cell)
+from ..constants import UNCLASSIFIED_THRESHOLD
+from ..index.structure import MoveIndex
+from ..io.fastx import ReadBatch
+
+LOG4 = math.log(4)
+
+
+@dataclass
+class FusedColorIndex:
+    fi: FusedIndex
+    doc_set_inds: jax.Array     # int32 [r] (color id per run; >= C if
+                                # compressed away)
+    num_colors: int             # C = number of kept unique sets
+
+
+jax.tree_util.register_dataclass(
+    FusedColorIndex, data_fields=["fi", "doc_set_inds"],
+    meta_fields=["num_colors"])
+
+
+def build_fused_color_index(ix: MoveIndex, ct: ColorTable,
+                            fi: Optional[FusedIndex] = None
+                            ) -> FusedColorIndex:
+    if fi is None:
+        fi = build_fused_index(ix)
+    return FusedColorIndex(
+        fi=fi,
+        doc_set_inds=jnp.asarray(
+            np.minimum(ct.doc_set_inds,
+                       len(ct.unique_doc_sets)).astype(np.int32)),
+        num_colors=len(ct.unique_doc_sets))
+
+
+@jax.jit
+def _fused_color_scan(ci: FusedColorIndex, alphas_t: jax.Array):
+    """Returns (ml, color) both [W, lanes]; color = doc_set_inds of the
+    post-LF run (clamped to C for compressed-away sets)."""
+    fi = ci.fi
+    lanes = alphas_t.shape[1]
+    slots = fi.sigma + 1
+    idx0 = jnp.full((lanes,), fi.start_idx, dtype=jnp.int32)
+    off0 = jnp.full((lanes,), fi.start_offset, dtype=jnp.int32)
+    ml0 = jnp.zeros((lanes,), dtype=jnp.int32)
+
+    def step(state, a):
+        new_state, ml = fused_pml_step(fi.records, slots, state,
+                                       a.astype(jnp.int32))
+        cid = jnp.take(ci.doc_set_inds, new_state[0], axis=0)
+        return new_state, (ml, cid)
+
+    _, (ml, color) = jax.lax.scan(step, (idx0, off0, ml0), alphas_t)
+    return ml, color
+
+
+class FusedColorEngine:
+    """Batched device multi-class classification."""
+
+    def __init__(self, ci: FusedColorIndex, ct: ColorTable,
+                 min_match_len: int = 0, pvalue_scoring: bool = False,
+                 report_all: bool = False, min_diff_frac: float = 0.05,
+                 min_score_frac: float = 0.0):
+        self.ci = ci
+        self.ct = ct
+        self.min_match_len = min_match_len
+        self.pvalue_scoring = pvalue_scoring
+        self.report_all = report_all
+        self.min_diff_frac = min_diff_frac
+        self.min_score_frac = min_score_frac
+        di = ct.doc_info
+        self.di = di
+        C = len(ct.unique_doc_sets)
+        self.C = C
+        self.max_w = max((len(s) for s in ct.unique_doc_sets), default=1)
+        # padded member table; row C = the compressed-away sentinel
+        # (counts toward colors_count, votes for nothing)
+        self.set_tab = np.full((C + 1, self.max_w), -1, dtype=np.int32)
+        for i, s in enumerate(ct.unique_doc_sets):
+            self.set_tab[i, : len(s)] = s
+        self.log_lens = di.log_lens
+
+    def query_batch_device(self, batch: ReadBatch):
+        fi = self.ci.fi
+        seqs_rev = batch.seqs[:, ::-1]
+        alphas = fi.alphamap_query[seqs_rev]
+        alphas_t = jnp.asarray(
+            np.ascontiguousarray(alphas.T).astype(np.uint8))
+        return _fused_color_scan(self.ci, alphas_t)
+
+    def query_batch(self, batch: ReadBatch
+                    ) -> List[Tuple[List[int], str, List[int]]]:
+        """Per lane: (pmls, csv_cell, per-base color ids for
+        --report-colors: kept color id when counted, C when skipped)."""
+        ml_d, color_d = self.query_batch_device(batch)
+        ml = np.asarray(ml_d)
+        color = np.asarray(color_d)
+        out = []
+        for lane in range(batch.lanes):
+            L = int(batch.lengths[lane])
+            pmls = ml[:L, lane]
+            cids = color[:L, lane]
+            cell, rep_colors = self._tally(pmls, cids, L)
+            out.append((pmls.tolist(), cell, rep_colors))
+        return out
+
+    def _tally(self, pmls: np.ndarray, cids: np.ndarray, L: int
+               ) -> Tuple[str, List[int]]:
+        di = self.di
+        S = di.num_species
+        counted = pmls >= self.min_match_len
+        colors_count = int(np.count_nonzero(counted))
+        kept = counted & (cids < self.C)
+        steps = np.flatnonzero(kept)
+        # report-colors stream: kept color id per counted base, sentinel C
+        # for skipped bases, nothing for compressed-away bases
+        # (read_processor.cpp:128-186)
+        rep_colors = [int(c) if k else self.C
+                      for c, k, cn in zip(cids, kept, counted)
+                      if k or not cn]
+        members = self.set_tab[cids[steps]]           # [nv, max_w]
+        valid = members >= 0
+        docs = members[valid]
+        # global step = base * max_w + member position (sequential member
+        # loop order within the sorted set)
+        base_steps = np.broadcast_to(
+            (steps * self.max_w)[:, None], members.shape)
+        pos_steps = base_steps + np.arange(self.max_w)[None, :]
+        vote_steps = pos_steps[valid]
+
+        cnt = np.zeros(S, dtype=np.int64)
+        np.add.at(cnt, docs, 1)
+        last = np.full(S, -1, dtype=np.int64)
+        np.maximum.at(last, docs, vote_steps)
+        if self.pvalue_scoring:
+            mls_per_vote = np.broadcast_to(
+                pmls[steps][:, None], members.shape)[valid]
+            val = mls_per_vote - self.log_lens[docs] / LOG4
+            w = np.where(val >= 0, np.minimum(val, 1.0), 0.0)
+            score = np.zeros(S)
+            np.add.at(score, docs, w)
+            # scores only grow on val >= 0 votes; `last` must track the
+            # final score-increasing vote
+            last = np.full(S, -1, dtype=np.int64)
+            np.maximum.at(last, docs[val >= 0], vote_steps[val >= 0])
+            vals = score
+            voted = score > 0
+        else:
+            vals = cnt
+            voted = cnt > 0
+
+        best = second = -1
+        if voted.any():
+            M = vals[voted].max()
+            cand = np.flatnonzero(voted & (vals == M))
+            best = int(cand[np.argmin(last[cand])])
+            rest = voted.copy()
+            rest[best] = False
+            if rest.any():
+                M2 = vals[rest].max()
+                cand2 = np.flatnonzero(rest & (vals == M2))
+                second = int(cand2[np.argmin(last[cand2])])
+
+        pml_mean = float(pmls.sum()) / max(L, 1)
+        cell = format_multiclass_cell(
+            vals, best, second, colors_count, pml_mean, di,
+            report_all=self.report_all, min_diff_frac=self.min_diff_frac,
+            min_score_frac=self.min_score_frac)
+        return cell, rep_colors

@@ -1,0 +1,78 @@
+"""Device Movi Color engine (engine/fused_color.py) vs the scalar
+ColorEngine oracle (move_structure_query.cpp:373-470;
+read_processor.cpp:122-186, 489-561)."""
+
+import numpy as np
+import pytest
+
+from movi_tpu.build.suffix import build_bwt_runs
+from movi_tpu.color import (ColorEngine, DocumentInfo, build_color_table,
+                            compress_color_table)
+from movi_tpu.engine.fused_color import (FusedColorEngine,
+                                         build_fused_color_index)
+from movi_tpu.index.structure import build_move_index
+from movi_tpu.io.fastx import make_batches
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(5)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    docs = [rng.choice(bases, size=2500) for _ in range(3)]
+    docs[1][:1200] = docs[0][:1200]  # overlap -> multi-doc sets
+    text = np.concatenate(docs)
+    offs = np.cumsum([len(d) for d in docs]).astype(np.int64)
+    runs = build_bwt_runs(text)
+    ix = build_move_index(runs, "regular-thresholds", bound_ff=1)
+    di = DocumentInfo.create(offs, taxon_ids=[101, 102, 202])
+    ct = build_color_table(ix, runs.sa, di)
+
+    reads = []
+    for i in range(40):
+        d = int(rng.integers(0, 3))
+        L = int(rng.integers(60, 140))
+        s = int(rng.integers(0, len(docs[d]) - L))
+        seq = docs[d][s : s + L].copy()
+        err = rng.random(L) < 0.02
+        seq = np.where(err, rng.choice(bases, size=L), seq)
+        if i % 7 == 0:
+            seq[rng.integers(0, L, size=2)] = ord("N")
+        reads.append((f"r{i}", seq.tobytes()))
+    return ix, runs, ct, reads
+
+
+def _compare(ix, ct, reads, **cfg):
+    ci = build_fused_color_index(ix, ct)
+    sc = ColorEngine(ix, ct, report_colors=True, **cfg)
+    fe = FusedColorEngine(ci, ct, **cfg)
+    got = {}
+    for b in make_batches(reads, lanes=len(reads)):
+        for nm, r in zip(b.names, fe.query_batch(b)):
+            got[nm] = r
+    for name, seq in reads:
+        pmls, cell = sc.query_pml_multiclass(seq)
+        gp, gc, gcol = got[name]
+        assert gp == pmls, (name, "pml")
+        assert gc == cell, (name, "cell", gc, cell)
+        assert gcol == sc.last_colors, (name, "colors")
+
+
+@pytest.mark.parametrize("cfg", [
+    dict(),
+    dict(min_match_len=3),
+    dict(report_all=True),
+    dict(report_all=True, min_diff_frac=0.5),
+    dict(report_all=True, min_score_frac=0.1),
+    dict(pvalue_scoring=True),
+    dict(pvalue_scoring=True, report_all=True, min_score_frac=0.05),
+])
+def test_fused_color_matches_scalar(setup, cfg):
+    ix, runs, ct, reads = setup
+    _compare(ix, ct, reads, **cfg)
+
+
+def test_fused_color_compressed(setup):
+    ix, runs, ct, reads = setup
+    ctc = compress_color_table(ct, take=3)
+    _compare(ix, ctc, reads)
+    _compare(ix, ctc, reads, report_all=True, min_score_frac=0.1)

@@ -347,6 +347,38 @@ def cmd_query(args):
                 _log(f"wrote {out}")
             return
 
+    if qt == "kmers" and args.kmer_count and not args.no_jax:
+        lf_abs = ix.all_p[ix.id_arr] + ix.offset_arr
+        e = lf_abs + ix.n_arr - 1
+        id_end = np.searchsorted(ix.all_p[:-1], e, side="right") - 1
+        if int((id_end - ix.id_arr).max()) <= 1:
+            import jax as _jax
+
+            if args.platform:
+                _jax.config.update("jax_platforms", args.platform)
+            from .engine.fused_kmer import FusedKmerCountEngine
+            from .engine.fused_search import build_fused_search_index
+            from .io.fastx import make_batches as _mb
+
+            _log("using the fused kmer-count engine")
+            eng = FusedKmerCountEngine(build_fused_search_index(ix), args.k)
+            lines = []
+            for batch in _mb(reads, lanes=args.lanes):
+                for name, (found, total) in zip(batch.names,
+                                                eng.query_batch(batch)):
+                    L = len(dict(reads)[name])
+                    lines.append(f"{name}\t{found}/{L - args.k + 1}\t{total}")
+            if args.stdout:
+                for ln in lines:
+                    print(ln)
+            elif not args.no_output:
+                out = f"{args.read}.{ix.mode}.kmers.{args.k}"
+                with open(out, "w") as f:
+                    for ln in lines:
+                        f.write(ln + "\n")
+                _log(f"wrote {out}")
+            return
+
     if qt in ("mems", "kmers"):
         from .cpu_ref.advanced import AdvancedEngine
         from .io.outputs import mem_lines

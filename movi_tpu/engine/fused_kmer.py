@@ -114,6 +114,76 @@ def _kmer_scan(si: FusedSearchIndex, alphas: jax.Array, state, k: int,
     return state, jnp.all(state["phase"] == 2)
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _kmer_count_scan(si: FusedSearchIndex, alphas: jax.Array, k: int):
+    """Exact-count kernel: one lane per k-mer.  alphas: int32 [k, nk] in
+    k-mer order (row 0 = first char); every lane runs exactly k-1
+    backward-search extensions in lockstep -- the uniform TPU replacement
+    for the reference's bidirectional partial-interval caching
+    (query_kmers_from_bidirectional, sequitur.cpp:14-255), which is a CPU
+    work-saving device; counts are identical.  Returns (found, count)."""
+    legal = jnp.all(alphas >= 0, axis=0)
+    rs, os_, re, oe = _init_interval(si, alphas[k - 1])
+    state = dict(rs=rs, os=os_, re=re, oe=oe, dead=~legal)
+
+    def body(state, a):
+        nrs, nos, nre, noe, empty = fused_bs_step(
+            si, state["rs"], state["os"], state["re"], state["oe"], a)
+        ok = ~state["dead"] & ~empty
+        return dict(
+            rs=jnp.where(ok, nrs, state["rs"]),
+            os=jnp.where(ok, nos, state["os"]),
+            re=jnp.where(ok, nre, state["re"]),
+            oe=jnp.where(ok, noe, state["oe"]),
+            dead=state["dead"] | empty,
+        ), None
+
+    # extend with kmer[k-2] ... kmer[0]
+    state, _ = jax.lax.scan(body, state, alphas[:-1][::-1])
+    found = ~state["dead"] & legal
+    cnt = (jnp.take(si.all_p, state["re"], axis=0) + state["oe"]
+           - jnp.take(si.all_p, state["rs"], axis=0) - state["os"] + 1)
+    return found, jnp.where(found, cnt, 0)
+
+
+class FusedKmerCountEngine:
+    """Exact k-mer counts, one device lane per k-mer.  Results identical
+    to AdvancedEngine.count_kmers_bidirectional."""
+
+    def __init__(self, si: FusedSearchIndex, k: int):
+        self.si = si
+        self.k = k
+
+    def query_batch(self, batch: ReadBatch) -> List[Tuple[int, int]]:
+        """Per read: (found_kmers, total_counts)."""
+        k = self.k
+        amap = self.si.alphamap_query
+        windows = []
+        owners = []
+        for i in range(batch.lanes):
+            L = int(batch.lengths[i])
+            if L < k:
+                continue
+            seq = np.frombuffer(
+                batch.seqs[i, batch.width - L:].tobytes(), np.uint8)
+            a = amap[seq].astype(np.int32)
+            w = np.lib.stride_tricks.sliding_window_view(a, k)  # [L-k+1, k]
+            windows.append(w)
+            owners.append(np.full(len(w), i, dtype=np.int64))
+        if not windows:
+            return [(0, 0)] * batch.lanes
+        al = np.concatenate(windows).T          # [k, nk]
+        own = np.concatenate(owners)
+        found, cnt = _kmer_count_scan(self.si, jnp.asarray(al), k)
+        found = np.asarray(found)
+        cnt = np.asarray(cnt)
+        f = np.zeros(batch.lanes, dtype=np.int64)
+        t = np.zeros(batch.lanes, dtype=np.int64)
+        np.add.at(f, own, found.astype(np.int64))
+        np.add.at(t, own, cnt.astype(np.int64))
+        return [(int(f[i]), int(t[i])) for i in range(batch.lanes)]
+
+
 class FusedKmerEngine:
     def __init__(self, si: FusedSearchIndex, k: int):
         self.si = si

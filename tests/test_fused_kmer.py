@@ -50,3 +50,42 @@ def test_fused_kmer_short_reads(setup):
     got = FusedKmerEngine(si, 11).query_batch(batch)
     for i, (name, seq) in enumerate(reads):
         assert got[i] == sc.query_all_kmers(seq, 11), name
+
+
+def test_fused_kmer_counts_match_oracle():
+    """FusedKmerCountEngine == count_kmers_bidirectional (exact counts,
+    sequitur.cpp:14-255 semantics)."""
+    import numpy as np
+
+    from movi_tpu.build.suffix import build_bwt_runs
+    from movi_tpu.cpu_ref.advanced import AdvancedEngine
+    from movi_tpu.engine.fused_kmer import FusedKmerCountEngine
+    from movi_tpu.engine.fused_search import build_fused_search_index
+    from movi_tpu.index.structure import build_move_index
+    from movi_tpu.io.fastx import make_batches
+
+    rng = np.random.default_rng(13)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    text = rng.choice(bases, size=6000)
+    runs = build_bwt_runs(text)
+    ix = build_move_index(runs, "regular-thresholds", bound_ff=1)
+    adv = AdvancedEngine(ix, ftab_k=0)
+    si = build_fused_search_index(ix)
+    reads = []
+    for i in range(20):
+        L = int(rng.integers(35, 120))
+        s = int(rng.integers(0, len(text) - L))
+        seq = text[s : s + L].copy()
+        seq = np.where(rng.random(L) < 0.03, rng.choice(bases, size=L), seq)
+        if i % 5 == 0:
+            seq[rng.integers(0, L, size=2)] = ord("N")
+        reads.append((f"r{i}", seq.tobytes()))
+    reads.append(("tiny", b"ACG"))
+    for k in (5, 31):
+        eng = FusedKmerCountEngine(si, k)
+        got = {}
+        for b in make_batches(reads, lanes=21):
+            for nm, r in zip(b.names, eng.query_batch(b)):
+                got[nm] = r
+        for nm, seq in reads:
+            assert got[nm] == adv.count_kmers_bidirectional(seq, k), (nm, k)

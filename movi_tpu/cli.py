@@ -313,8 +313,9 @@ def cmd_query(args):
                 _log(f"wrote {out}")
             return
 
-    if qt == "mems" and not args.no_jax and args.min_mem_length >= 2:
-        # device BML MEM engine (bounded ACGT index required)
+    if qt == "mems" and not args.no_jax:
+        # device MEM engines (bounded ACGT index required): BML for
+        # min lengths >= 2, the all-MEMs machine otherwise
         lf_abs = ix.all_p[ix.id_arr] + ix.offset_arr
         e = lf_abs + ix.n_arr - 1
         id_end = np.searchsorted(ix.all_p[:-1], e, side="right") - 1
@@ -324,14 +325,16 @@ def cmd_query(args):
 
             if args.platform:
                 _jax.config.update("jax_platforms", args.platform)
-            from .engine.fused_mem import (FusedMemEngine,
+            from .engine.fused_mem import (FusedAllMemEngine,
+                                           FusedMemEngine,
                                            build_fused_mem_index)
             from .io.fastx import make_batches as _mb
             from .io.outputs import mem_lines
 
             _log("using the fused MEM engine")
-            eng = FusedMemEngine(build_fused_mem_index(ix),
-                                 args.min_mem_length)
+            mi = build_fused_mem_index(ix)
+            eng = (FusedMemEngine(mi, args.min_mem_length)
+                   if args.min_mem_length >= 2 else FusedAllMemEngine(mi))
             lines = []
             for batch in _mb(reads, lanes=args.lanes):
                 for name, mems in zip(batch.names, eng.query_batch(batch)):

@@ -274,6 +274,219 @@ def _mem_scan(mi: FusedMemIndex, alphas: jax.Array, state, L: int,
     return state, jnp.all(state["phase"] == DONE)
 
 
+def _extend_bidir(mi: FusedMemIndex, srs, sos, sre, soe,
+                  ors, oos, ore, ooe, a_step):
+    """One extend_bidirectional (move_structure_search.cpp:66-120):
+    backward-step the (s*) interval with char a_step, advance the (o*)
+    interval by the skip count.  Returns (ok, new_s*, new_o*)."""
+    si = mi.si
+    sigma, r = si.sigma, si.r
+    nrs, nos, nre, noe, empty = fused_bs_step(si, srs, sos, sre, soe, a_step)
+    ok = ~empty
+    t = jnp.clip(sigma - 1 - a_step, 0, sigma - 1)
+    sr_s = jnp.take(mi.skip_rec, t * r + jnp.minimum(srs, r - 1), axis=0)
+    sr_e = jnp.take(mi.skip_rec, t * r + jnp.minimum(sre, r - 1), axis=0)
+    skip = (sr_e[:, 0] + sr_e[:, 1] * (soe + 1)
+            - sr_s[:, 0] - sr_s[:, 1] * sos)
+    new_cnt = _count(si.all_p, nrs, nos, nre, noe)
+    o_start_abs = jnp.take(si.all_p, ors, axis=0) + oos + skip
+    n_ors, n_oos = _resolve(si.all_p, o_start_abs)
+    n_ore, n_ooe = _resolve(si.all_p, o_start_abs + new_cnt - 1)
+    return ok, nrs, nos, nre, noe, n_ors, n_oos, n_ore, n_ooe
+
+
+# all-MEMs phases
+AM_RIGHT, AM_LEFT, AM_DONE = 0, 1, 2
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _all_mem_scan(mi: FusedMemIndex, alphas: jax.Array, ticks: int, state):
+    """query_all_mems (mem_finder.cpp:105-145): right-extend to
+    maximality, emit, re-anchor by left-extending from the MEM end."""
+    si = mi.si
+    sigma = si.sigma
+    lanes, W = alphas.shape
+    lane_iota = jnp.arange(lanes)
+    m = jnp.sum(alphas > -2, axis=1).astype(jnp.int32)
+
+    def char_at(p):
+        return alphas[lane_iota, jnp.clip(p, 0, W - 1)]
+
+    def init_pair(c0):
+        """init_bidirectional at a char: fw from c0 (canonical empty
+        interval (1,0,0,0) when illegal), rc from its complement
+        (complement of any unknown-but-'#' char is 'A',
+        utils.cpp:87-91)."""
+        i_frs, i_fos, i_fre, i_foe = _init_interval(si, c0)
+        legal = c0 >= 0
+        frs = jnp.where(legal, i_frs, 1)
+        fos = jnp.where(legal, i_fos, 0)
+        fre = jnp.where(legal, i_fre, 0)
+        foe = jnp.where(legal, i_foe, 0)
+        c0r = jnp.where(legal, sigma - 1 - c0, jnp.where(c0 == -1, 0, -1))
+        i_rrs, i_ros, i_rre, i_roe = _init_interval(si, c0r)
+        rlegal = c0r >= 0
+        rrs = jnp.where(rlegal, i_rrs, 1)
+        ros = jnp.where(rlegal, i_ros, 0)
+        rre = jnp.where(rlegal, i_rre, 0)
+        roe = jnp.where(rlegal, i_roe, 0)
+        return frs, fos, fre, foe, rrs, ros, rre, roe
+
+    def tick(state, _):
+        phase = state["phase"]
+        s, ml, e = state["s"], state["ml"], state["e"]
+        frs, fos, fre, foe = (state["frs"], state["fos"], state["fre"],
+                              state["foe"])
+        rrs, ros, rre, roe = (state["rrs"], state["ros"], state["rre"],
+                              state["roe"])
+
+        in_right = phase == AM_RIGHT
+        in_left = phase == AM_LEFT
+
+        # RIGHT: extend_right(seq[s+ml]) = extend_bidirectional on rc
+        # with the complemented char; LEFT: extend_left(seq[e-ml]) on fw
+        c_r_raw = char_at(s + ml)
+        a_right = jnp.where(c_r_raw >= 0, sigma - 1 - c_r_raw,
+                            jnp.where(c_r_raw == -1, 0, -1))
+        a_left = char_at(e - ml)
+        right_in_range = in_right & (s + ml < m)
+        left_in_range = in_left & (e - ml >= 0)
+        a = jnp.where(in_right, jnp.where(right_in_range, a_right, -1),
+                      jnp.where(left_in_range, a_left, -1))
+        step_rs = jnp.where(in_right, rrs, frs)
+        step_os = jnp.where(in_right, ros, fos)
+        step_re = jnp.where(in_right, rre, fre)
+        step_oe = jnp.where(in_right, roe, foe)
+        oth_rs = jnp.where(in_right, frs, rrs)
+        oth_os = jnp.where(in_right, fos, ros)
+        oth_re = jnp.where(in_right, fre, rre)
+        oth_oe = jnp.where(in_right, foe, roe)
+        (ok, n_srs, n_sos, n_sre, n_soe,
+         n_ors, n_oos, n_ore, n_ooe) = _extend_bidir(
+            mi, step_rs, step_os, step_re, step_oe,
+            oth_rs, oth_os, oth_re, oth_oe, a)
+
+        right_ok = in_right & ok
+        left_ok = in_left & ok
+        frs2 = jnp.where(right_ok, n_ors, jnp.where(left_ok, n_srs, frs))
+        fos2 = jnp.where(right_ok, n_oos, jnp.where(left_ok, n_sos, fos))
+        fre2 = jnp.where(right_ok, n_ore, jnp.where(left_ok, n_sre, fre))
+        foe2 = jnp.where(right_ok, n_ooe, jnp.where(left_ok, n_soe, foe))
+        rrs2 = jnp.where(right_ok, n_srs, jnp.where(left_ok, n_ors, rrs))
+        ros2 = jnp.where(right_ok, n_sos, jnp.where(left_ok, n_oos, ros))
+        rre2 = jnp.where(right_ok, n_sre, jnp.where(left_ok, n_ore, rre))
+        roe2 = jnp.where(right_ok, n_soe, jnp.where(left_ok, n_ooe, roe))
+        ml2 = jnp.where(right_ok | left_ok, ml + 1, ml)
+
+        # RIGHT termination: emit (s, s+ml, count(fw)) at index s
+        right_stop = in_right & ~right_ok & (phase != AM_DONE)
+        mem_cnt = _count(si.all_p, frs, fos, fre, foe)
+        ends = state["ends"].at[lane_iota, jnp.clip(s, 0, W - 1)].add(
+            jnp.where(right_stop, s + ml, 0))
+        counts = state["counts"].at[lane_iota, jnp.clip(s, 0, W - 1)].add(
+            jnp.where(right_stop, mem_cnt, 0))
+        e2 = jnp.where(right_stop, s + ml, e)
+        at_end = right_stop & (s + ml >= m)
+        phase2 = jnp.where(at_end, AM_DONE, phase)
+        # re-anchor: init at e, ml = 1, left-extend
+        reanchor = right_stop & ~at_end
+        c_e = char_at(e2)
+        (i_frs, i_fos, i_fre, i_foe,
+         i_rrs, i_ros, i_rre, i_roe) = init_pair(c_e)
+        frs2 = jnp.where(reanchor, i_frs, frs2)
+        fos2 = jnp.where(reanchor, i_fos, fos2)
+        fre2 = jnp.where(reanchor, i_fre, fre2)
+        foe2 = jnp.where(reanchor, i_foe, foe2)
+        rrs2 = jnp.where(reanchor, i_rrs, rrs2)
+        ros2 = jnp.where(reanchor, i_ros, ros2)
+        rre2 = jnp.where(reanchor, i_rre, rre2)
+        roe2 = jnp.where(reanchor, i_roe, roe2)
+        ml2 = jnp.where(reanchor, 1, ml2)
+        phase2 = jnp.where(reanchor, AM_LEFT, phase2)
+
+        # LEFT termination: s = e - ml + 1, back to RIGHT
+        left_stop = in_left & ~left_ok
+        s2 = jnp.where(left_stop, e - ml + 1, s)
+        phase2 = jnp.where(left_stop, AM_RIGHT, phase2)
+
+        new_state = dict(phase=phase2, s=s2, ml=ml2, e=e2,
+                         frs=frs2, fos=fos2, fre=fre2, foe=foe2,
+                         rrs=rrs2, ros=ros2, rre=rre2, roe=roe2,
+                         ends=ends, counts=counts)
+        return new_state, None
+
+    state, _ = jax.lax.scan(tick, state, None, length=ticks)
+    return state, jnp.all(state["phase"] == AM_DONE)
+
+
+class FusedAllMemEngine:
+    """Batched device all-MEMs (min_mem_length <= 1).  Results identical
+    to AdvancedEngine.query_all_mems with ftab_k=0."""
+
+    def __init__(self, mi: FusedMemIndex):
+        self.mi = mi
+
+    def query_batch(self, batch: ReadBatch
+                    ) -> List[List[Tuple[int, int, int]]]:
+        si = self.mi.si
+        sigma = si.sigma
+        W, lanes = batch.width, batch.lanes
+        alphas = np.full((lanes, W), -2, dtype=np.int32)
+        amap = si.alphamap_query.copy()
+        amap[ord("#")] = -3
+        for i in range(lanes):
+            Li = int(batch.lengths[i])
+            alphas[i, :Li] = amap[
+                np.frombuffer(batch.seqs[i, W - Li:].tobytes(), np.uint8)]
+        al = jnp.asarray(alphas)
+        lengths = jnp.asarray(batch.lengths.astype(np.int32))
+        z = jnp.zeros((lanes,), jnp.int32)
+        # entry = init_bidirectional at s=0 with ml=1, phase RIGHT
+        c0 = al[:, 0]
+        import jax as _jax
+
+        def make_state():
+            i_frs, i_fos, i_fre, i_foe = _init_interval(si, c0)
+            legal = c0 >= 0
+            c0r = jnp.where(legal, sigma - 1 - c0,
+                            jnp.where(c0 == -1, 0, -1))
+            i_rrs, i_ros, i_rre, i_roe = _init_interval(si, c0r)
+            rlegal = c0r >= 0
+            return dict(
+                phase=jnp.where(lengths > 0, AM_RIGHT, AM_DONE
+                                ).astype(jnp.int32),
+                s=z, ml=jnp.ones((lanes,), jnp.int32), e=z,
+                frs=jnp.where(legal, i_frs, 1).astype(jnp.int32),
+                fos=jnp.where(legal, i_fos, 0).astype(jnp.int32),
+                fre=jnp.where(legal, i_fre, 0).astype(jnp.int32),
+                foe=jnp.where(legal, i_foe, 0).astype(jnp.int32),
+                rrs=jnp.where(rlegal, i_rrs, 1).astype(jnp.int32),
+                ros=jnp.where(rlegal, i_ros, 0).astype(jnp.int32),
+                rre=jnp.where(rlegal, i_rre, 0).astype(jnp.int32),
+                roe=jnp.where(rlegal, i_roe, 0).astype(jnp.int32),
+                ends=jnp.zeros((lanes, W), jnp.int32),
+                counts=jnp.zeros((lanes, W), jnp.int32),
+            )
+
+        state = _jax.jit(make_state)()
+        ticks = 4 * W + 64
+        done = False
+        for _ in range(W):
+            state, d = _all_mem_scan(self.mi, al, ticks, state)
+            if bool(d):
+                done = True
+                break
+        assert done, "all-MEM scan did not converge"
+        ends = np.asarray(state["ends"])
+        counts = np.asarray(state["counts"])
+        res = []
+        for i in range(lanes):
+            nz = np.flatnonzero(ends[i])
+            res.append([(int(p), int(ends[i][p]), int(counts[i][p]))
+                        for p in nz])
+        return res
+
+
 class FusedMemEngine:
     """Batched device MEMs.  Results identical to
     AdvancedEngine.query_mems(seq, L) with ftab_k=0, for L >= 2."""

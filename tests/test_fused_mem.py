@@ -30,7 +30,7 @@ def setup():
         build_fused_mem_index(ix)
 
 
-def _reads(rng, bases, fw, n, err=0.05, with_n=False):
+def _reads(rng, bases, fw, n, err=0.05, with_n=False, prefix="r"):
     reads = []
     for i in range(n):
         L = int(rng.integers(25, 90))
@@ -40,7 +40,7 @@ def _reads(rng, bases, fw, n, err=0.05, with_n=False):
         seq = np.where(e, rng.choice(bases, size=L), seq)
         if with_n:
             seq[rng.integers(0, L, size=2)] = ord("N")
-        reads.append((f"r{i}", seq.tobytes()))
+        reads.append((f"{prefix}{i}", seq.tobytes()))
     return reads
 
 
@@ -70,3 +70,20 @@ def test_fused_mems_edge_cases(setup):
                 got[nm] = r
         for name, seq in reads:
             assert got[name] == adv.query_mems(seq, L), (name, L)
+
+
+def test_fused_all_mems_match_oracle(setup):
+    """FusedAllMemEngine == query_all_mems (mem_finder.cpp:105-145)."""
+    from movi_tpu.engine.fused_mem import FusedAllMemEngine
+
+    rng, bases, fw, ix, adv, mi = setup
+    reads = _reads(rng, bases, fw, 25)
+    reads += _reads(rng, bases, fw, 8, with_n=True, prefix="n")
+    reads += [("tiny", b"ACG"), ("one", b"A")]
+    eng = FusedAllMemEngine(mi)
+    got = {}
+    for b in make_batches(reads, lanes=len(reads)):
+        for nm, r in zip(b.names, eng.query_batch(b)):
+            got[nm] = r
+    for name, seq in reads:
+        assert got[name] == adv.query_all_mems(seq), name

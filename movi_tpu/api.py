@@ -10,7 +10,9 @@
     res = index.query_zml(reads)
     res = index.query_mems(reads, min_mem_length=20)
     res = index.query_kmers(reads, k=31)
+    res = index.query_kmers(reads, k=31, counts=True)   # exact counts
     found = index.classify(reads)                       # SPUMONI binary
+    res = index.multi_classify(reads, color_table)      # Movi Color
 
 Reads are (name, bytes) pairs or a fasta/fastq path.  JAX engines are
 selected automatically (fused single-gather engines when the index was
@@ -45,6 +47,7 @@ class Index:
         self._scalar = None
         self._fused_pml = None
         self._fused_search = None
+        self._fused_mem = None
         self._bounded = None
 
     # ------------------------------------------------------------- build
@@ -133,20 +136,67 @@ class Index:
         return [(n, self.scalar.query_zml(s)) for n, s in reads]
 
     def query_mems(self, reads: Reads, min_mem_length: int = 0,
-                   ftab_k: int = 0):
+                   ftab_k: int = 0, lanes: int = 8192, jax: bool = True):
         reads = _as_reads(reads)
+        if (jax and ftab_k <= 1 and self._is_bounded()
+                and bytes(self.ix.alphabet) == b"ACGT"):
+            from .engine.fused_mem import (FusedAllMemEngine,
+                                           FusedMemEngine,
+                                           build_fused_mem_index)
+
+            if self._fused_mem is None:
+                self._fused_mem = build_fused_mem_index(self.ix)
+            eng = (FusedMemEngine(self._fused_mem, min_mem_length)
+                   if min_mem_length >= 2
+                   else FusedAllMemEngine(self._fused_mem))
+            out = []
+            for batch in make_batches(reads, lanes=lanes):
+                out.extend(zip(batch.names, eng.query_batch(batch)))
+            return out
         eng = self.scalar
         if ftab_k > 1 and eng.ftab_k != ftab_k:
             eng.build_ftab(ftab_k)
         return [(n, eng.query_mems(s, min_mem_length)) for n, s in reads]
 
-    def query_kmers(self, reads: Reads, k: int = 31, counts: bool = False):
+    def query_kmers(self, reads: Reads, k: int = 31, counts: bool = False,
+                    lanes: int = 8192, jax: bool = True):
         reads = _as_reads(reads)
+        if jax and counts and self._is_bounded():
+            from .engine.fused_kmer import FusedKmerCountEngine
+            from .engine.fused_search import build_fused_search_index
+
+            eng = FusedKmerCountEngine(
+                build_fused_search_index(self.ix), k)
+            out = []
+            for batch in make_batches(reads, lanes=lanes):
+                out.extend(zip(batch.names, eng.query_batch(batch)))
+            return out
         eng = self.scalar
         if counts:
             return [(n, eng.count_kmers_bidirectional(s, k))
                     for n, s in reads]
         return [(n, eng.query_all_kmers(s, k)) for n, s in reads]
+
+    def multi_classify(self, reads: Reads, color_table, lanes: int = 8192,
+                       jax: bool = True, **color_kw):
+        """Movi Color multi-class classification: [(name, csv_cell)]."""
+        reads = _as_reads(reads)
+        if jax and self.ix.thr is not None and self._is_bounded():
+            from .engine.fused_color import (FusedColorEngine,
+                                             build_fused_color_index)
+
+            eng = FusedColorEngine(
+                build_fused_color_index(self.ix, color_table), color_table,
+                **color_kw)
+            out = []
+            for batch in make_batches(reads, lanes=lanes):
+                out.extend((n, cell) for n, (_, cell, _)
+                           in zip(batch.names, eng.query_batch(batch)))
+            return out
+        from .color import ColorEngine
+
+        eng = ColorEngine(self.ix, color_table, **color_kw)
+        return [(n, eng.query_pml_multiclass(s)[1]) for n, s in reads]
 
     def classify(self, reads: Reads, nulldb=None, bin_width: int = 150):
         """Binary SPUMONI classification: [(name, found)]."""

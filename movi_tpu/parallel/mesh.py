@@ -86,6 +86,55 @@ def _pml_classify_scan(fi: FusedIndex, alphas_t: jax.Array,
     return ml.astype(jnp.uint16), found, above, below
 
 
+class ShardedSearchEngine:
+    """Data-parallel count / ZML queries over a mesh: the fused search
+    records replicated per device, read lanes sharded (the same layout as
+    ShardedPMLEngine; no collectives in the query loop)."""
+
+    def __init__(self, si, mesh: Optional[Mesh] = None):
+        self.mesh = mesh or make_mesh()
+        rep = NamedSharding(self.mesh, P())
+        self.si = jax.tree.map(lambda a: jax.device_put(a, rep), si)
+        self.lane_sharding = NamedSharding(self.mesh, P(None, "data"))
+
+    def _alphas(self, seqs: np.ndarray, lengths: np.ndarray):
+        alphas = np.asarray(self.si.alphamap_query)[
+            seqs[:, ::-1]].astype(np.int32)
+        t_idx = np.arange(seqs.shape[1])[None, :]
+        alphas = np.where(t_idx >= lengths[:, None], -2, alphas)
+        return jax.device_put(jnp.asarray(alphas.T), self.lane_sharding)
+
+    def count_batch_device(self, seqs: np.ndarray, lengths: np.ndarray):
+        from ..engine.fused_search import fused_count_scan
+
+        return fused_count_scan(self.si, self._alphas(seqs, lengths))
+
+    def zml_batch_device(self, seqs: np.ndarray, lengths: np.ndarray):
+        from ..engine.fused_search import fused_zml_scan
+
+        return fused_zml_scan(self.si, self._alphas(seqs, lengths))
+
+
+class ShardedColorEngine:
+    """Data-parallel Movi Color scan over a mesh: index + color ids
+    replicated, lanes sharded; the host vote tally happens per shard
+    after gathering (engine/fused_color.py)."""
+
+    def __init__(self, ci, mesh: Optional[Mesh] = None):
+        self.mesh = mesh or make_mesh()
+        rep = NamedSharding(self.mesh, P())
+        self.ci = jax.tree.map(lambda a: jax.device_put(a, rep), ci)
+        self.lane_sharding = NamedSharding(self.mesh, P(None, "data"))
+
+    def query_batch_device(self, seqs: np.ndarray):
+        from ..engine.fused_color import _fused_color_scan
+
+        alphas = np.asarray(self.ci.fi.alphamap_query)[
+            seqs[:, ::-1]].T.astype(np.uint8)
+        alphas_d = jax.device_put(jnp.asarray(alphas), self.lane_sharding)
+        return _fused_color_scan(self.ci, alphas_d)
+
+
 class ShardedPMLEngine:
     """Data-parallel PML (+classification) over a mesh."""
 

@@ -77,3 +77,54 @@ def test_mesh_sharding_spec(setup):
     lengths = np.full(16, 10, dtype=np.int32)
     ml, found, above, below = eng.query_batch_device(seqs, lengths)
     assert "data" in str(found.sharding.spec)
+
+
+def test_sharded_search_and_color(setup):
+    """ShardedSearchEngine / ShardedColorEngine over the 8-device mesh
+    equal the scalar count/ZML/multiclass results."""
+    from movi_tpu.color import ColorEngine, DocumentInfo, build_color_table
+    from movi_tpu.engine.fused_color import build_fused_color_index
+    from movi_tpu.engine.fused_search import build_fused_search_index
+    from movi_tpu.parallel.mesh import (ShardedColorEngine,
+                                        ShardedSearchEngine)
+
+    text, ix, scalar, fi = setup
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(41)
+    lanes, Wmax = 32, 64
+    seqs = np.full((lanes, Wmax), 255, dtype=np.uint8)
+    lengths = np.zeros(lanes, dtype=np.int32)
+    reads = []
+    for i in range(lanes):
+        L = int(rng.integers(8, Wmax))
+        s = int(rng.integers(0, len(text) - L))
+        seq = text[s : s + L].copy()
+        seqs[i, Wmax - L:] = seq
+        lengths[i] = L
+        reads.append(seq.tobytes())
+
+    se = ShardedSearchEngine(build_fused_search_index(ix), mesh=mesh)
+    matched, count = (np.asarray(x)
+                      for x in se.count_batch_device(seqs, lengths))
+    zml = np.asarray(se.zml_batch_device(seqs, lengths))
+    for i, seq in enumerate(reads):
+        pos, cnt = scalar.query_count(seq)
+        assert int(lengths[i]) - int(matched[i]) == pos, i
+        assert int(count[i]) == cnt, i
+        assert zml[: len(seq), i].tolist() == scalar.query_zml(seq), i
+
+    runs = build_bwt_runs(text)
+    di = DocumentInfo.create([3000, 6000])
+    ct = build_color_table(ix, runs.sa, di)
+    ce = ShardedColorEngine(build_fused_color_index(ix, ct, fi=fi),
+                            mesh=mesh)
+    cml, ccol = (np.asarray(x) for x in ce.query_batch_device(seqs))
+    sc = ColorEngine(ix, ct)
+    from movi_tpu.engine.fused_color import FusedColorEngine
+    fe = FusedColorEngine(build_fused_color_index(ix, ct, fi=fi), ct)
+    for i, seq in enumerate(reads):
+        L = len(seq)
+        pmls, cell = sc.query_pml_multiclass(seq)
+        assert cml[:L, i].tolist() == pmls, i
+        got_cell, _ = fe._tally(cml[:L, i], ccol[:L, i], L)
+        assert got_cell == cell, i

@@ -195,8 +195,56 @@ def cmd_query(args):
     if args.reverse:
         reads = [(n, s[::-1]) for n, s in reads]
 
-    if args.sa_entries or args.logs:
-        args.no_jax = True  # SA entries / logs run on the scalar path
+    if args.logs:
+        args.no_jax = True  # per-base cost tracing runs on the scalar path
+
+    if args.sa_entries and qt == "pml" and not args.no_jax:
+        # device PML + per-base SA entries (fused scan emits the pre-LF
+        # state; masked lockstep walk to the nearest sampled row)
+        lf_abs = ix.all_p[ix.id_arr] + ix.offset_arr
+        e = lf_abs + ix.n_arr - 1
+        id_end = np.searchsorted(ix.all_p[:-1], e, side="right") - 1
+        if (int((id_end - ix.id_arr).max()) <= 1 and ix.thr is not None
+                and ix.sampled_SA is not None):
+            import jax as _jax
+
+            if args.platform:
+                _jax.config.update("jax_platforms", args.platform)
+            from .engine.fused import build_fused_index
+            from .engine.fused_sa import FusedSAEngine
+            from .io.fastx import make_batches as _mb
+
+            _log("using the fused SA-entries engine")
+            eng = FusedSAEngine(build_fused_index(ix), ix)
+            results, sa_results = [], []
+            for batch in _mb(reads, lanes=args.lanes):
+                for name, (pmls, sas) in zip(batch.names,
+                                             eng.query_batch(batch)):
+                    results.append((name, pmls))
+                    sa_results.append((name, sas))
+            if not args.no_output:
+                out_sa = (args.out_file or f"{args.read}.{ix.mode}") + \
+                    ".pml.sa_entries.bpf"
+                with BPFWriter(out_sa, entry_size=64) as w:
+                    for name, sas in sa_results:
+                        w.write_read(name, sas)
+                _log(f"wrote {out_sa}")
+                out_prefix = (args.out_file or
+                              f"{args.read}.{ix.mode}") + ".pml"
+                with BPFWriter(out_prefix + ".bpf") as w:
+                    for name, pmls in results:
+                        w.write_read(name, pmls)
+                _log(f"wrote {out_prefix}.bpf")
+            elif args.stdout:
+                from .io.outputs import pml_stdout_lines
+
+                for name, pmls in results:
+                    for ln in pml_stdout_lines(name, pmls):
+                        print(ln)
+            return
+        args.no_jax = True  # fall back to the scalar SA path
+    elif args.sa_entries:
+        args.no_jax = True
 
     if args.multi_classify:
         from .color import ColorEngine, ColorTable

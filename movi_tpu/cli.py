@@ -760,6 +760,24 @@ def cmd_view(args):
         print(ln)
 
 
+def _output_ids(ix, index_dir):
+    """ids.all + per-character ids.<c> dumps of the character-adjusted LF
+    destination of every run (output_ids, move_structure_io.cpp:834-868)."""
+    base = os.path.join(index_dir, "ids")
+    mask = np.ones(ix.r, dtype=bool)
+    mask[ix.end_bwt_idx] = False
+    adjusted = ix.id_arr - ix.first_runs[ix.c_arr.astype(np.int64) + 1]
+    run_idx = np.arange(ix.r)
+    with open(base + ".all", "w") as f:
+        f.write("\n".join(map(str, adjusted[mask])) + "\n")
+    for a, ch in enumerate(ix.alphabet):
+        sel = mask & (ix.c_arr == a)
+        with open(base + "." + chr(ch), "w") as f:
+            for aid, i in zip(adjusted[sel], run_idx[sel]):
+                f.write(f"{aid}\t{i}\n")
+    _log(f"wrote {base}.all and per-character id files")
+
+
 def cmd_inspect(args):
     ix = _load_index(args.index)
     print(f"index mode: {ix.mode}")
@@ -767,12 +785,23 @@ def cmd_inspect(args):
     print(f"r: {ix.r}")
     print(f"original_r: {ix.original_r}")
     print(f"n/r: {ix.length / ix.r:.4f}")
+    if ix.original_r:
+        print(f"n/original_r: {ix.length / ix.original_r:.4f}")
     print(f"end_bwt_idx ($): {ix.end_bwt_idx}")
     print(f"alphabet: {''.join(chr(c) for c in ix.alphabet)}")
     for i in range(ix.sigma + 1):
         c = "$" if i == 0 else chr(ix.alphabet[i - 1])
         print(f"{c}\t{i}\t{ix.first_runs[i]}:{ix.first_offsets[i]}\t"
               f"{ix.last_runs[i]}:{ix.last_offsets[i]}")
+    for i, cnt in enumerate(ix.counts):
+        print(f"counts[{i}]: {cnt}")
+    from .constants import MODE_ROW_BYTES
+
+    row_bytes = MODE_ROW_BYTES.get(ix.mode, 8)
+    print(f"rlbwt table size (reference row packing): "
+          f"{row_bytes * ix.r * 1e-9:.6f} GB")
+    if args.output_ids:
+        _output_ids(ix, args.index)
 
 
 def cmd_lf(args):
@@ -998,6 +1027,8 @@ def main(argv=None):
 
     ins = sub.add_parser("inspect")
     ins.add_argument("--index", "-i", required=True)
+    ins.add_argument("--output-ids", action="store_true",
+                     help="dump character-adjusted run ids to ids.* files")
     ins.set_defaults(func=cmd_inspect)
 
     lf = sub.add_parser("LF")

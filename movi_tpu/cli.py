@@ -75,7 +75,8 @@ def cmd_build(args):
     if args.movi_format:
         from .index.movi_format import write_movi
 
-        write_movi(ix, os.path.join(args.index, "index.movi"))
+        write_movi(ix, os.path.join(args.index, "index.movi"),
+                   tally_checkpoints=args.checkpoint)
         _log("wrote reference-format index.movi")
 
     eng = ScalarEngine(ix)
@@ -907,6 +908,9 @@ def main(argv=None):
                         "instead of a FASTA (movi build --preprocessed)")
     b.add_argument("--mmap", action="store_true",
                    help="also write a demand-pageable index.mmap/ layout")
+    b.add_argument("--checkpoint", type=int, default=20,
+                   help="tally id checkpoint spacing for sampled modes "
+                        "(reference --checkpoint, default 20)")
     b.set_defaults(func=cmd_build)
 
     q = sub.add_parser("query")

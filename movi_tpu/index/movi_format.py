@@ -250,13 +250,13 @@ def _rows_tally(ix: MoveIndex, with_thr: bool) -> bytes:
     return rows.tobytes()
 
 
-def _tally_table(ix: MoveIndex) -> bytes:
+def _tally_table(ix: MoveIndex, ckpt: int = TALLY_CHECKPOINTS) -> bytes:
     """build_move_rows tally logic (move_structure_build.cpp:486-497,
     571-594, 677-682): per char, per checkpoint, the LF-destination run
     (pp_id) of the latest run of that char at-or-before the checkpoint;
-    earlier checkpoints backfilled with the first run's pp_id."""
+    earlier checkpoints backfilled with the first run's pp_id.  `ckpt`
+    mirrors --checkpoint (movi_parser.cpp:104, default 20)."""
     r, sigma = ix.r, ix.sigma
-    ckpt = TALLY_CHECKPOINTS
     nlen = r // ckpt + 2
     out = bytearray()
     out += struct.pack("<I", ckpt)
@@ -303,7 +303,8 @@ def _sep_thresholds_bytes(ix: MoveIndex) -> bytes:
     return bytes(out)
 
 
-def write_movi(ix: MoveIndex, path: str):
+def write_movi(ix: MoveIndex, path: str,
+               tally_checkpoints: int = TALLY_CHECKPOINTS):
     mode_num, _, use_thr, split_thr = MODE_INFO[ix.mode]
     with open(path, "wb") as f:
         f.write(_header_bytes(mode_num, ix))
@@ -318,7 +319,7 @@ def write_movi(ix: MoveIndex, path: str):
             f.write(rows)
         elif mode_num in (5, 7):
             f.write(_rows_tally(ix, with_thr=(mode_num == 7)))
-            f.write(_tally_table(ix))
+            f.write(_tally_table(ix, tally_checkpoints))
         else:
             raise ValueError(f"unsupported mode {ix.mode}")
         f.write(_overflow_bytes())

@@ -7,9 +7,12 @@ move_structure_query.cpp:373-470).
 
 TPU split of that work:
 
-  device   the fused single-gather PML scan (engine/fused.py) additionally
-           gathers each base's color id (doc_set_inds[idx]) -- one extra
-           4-byte gather per base -- and emits [W, lanes] (ml, color_id).
+  device   the fused PML scan emits each base's color id alongside the
+           matching length.  The color ids of all four possible post-LF
+           destinations are embedded in a widened 8-int32 record, so the
+           whole color step stays ONE gather per base (a dependent
+           doc_set_inds[new_idx] gather would serialize and cost ~2x; a
+           fallback path does exactly that when >2^16-2 unique sets).
   host     a vectorized vote tally over the emitted matrices.  The online
            (best, second) tracking is order-dependent under ties; it is
            reconstructed exactly from two per-document aggregates:
@@ -55,10 +58,13 @@ class FusedColorIndex:
     doc_set_inds: jax.Array     # int32 [r] (color id per run; >= C if
                                 # compressed away)
     num_colors: int             # C = number of kept unique sets
+    # 8-wide record (PML record + packed destination color ids); None
+    # when C+1 exceeds 16 bits (falls back to a second gather)
+    records8: Optional[jax.Array] = None
 
 
 jax.tree_util.register_dataclass(
-    FusedColorIndex, data_fields=["fi", "doc_set_inds"],
+    FusedColorIndex, data_fields=["fi", "doc_set_inds", "records8"],
     meta_fields=["num_colors"])
 
 
@@ -67,12 +73,67 @@ def build_fused_color_index(ix: MoveIndex, ct: ColorTable,
                             ) -> FusedColorIndex:
     if fi is None:
         fi = build_fused_index(ix)
+    C = len(ct.unique_doc_sets)
+    cids = np.minimum(ct.doc_set_inds, C).astype(np.int64)
+    records8 = None
+    if C + 1 <= 0xFFFF:
+        # widen the fused PML record with the color ids of all four
+        # possible post-LF destinations (id, id+1, up, dn), packed two
+        # per int32 -- the whole color step becomes ONE 32 B gather
+        # (a dependent second gather would serialize and cost ~2x)
+        rec = np.asarray(fi.records).astype(np.int64)
+        r, slots = ix.r, ix.sigma + 1
+        rec = rec.reshape(r, slots, 6)
+        f1 = rec[:, :, 1]                      # LF destination base run
+        cid_id = cids[np.minimum(f1, r - 1)]
+        cid_id1 = cids[np.minimum(f1 + 1, r - 1)]
+        cid_up = cids[np.minimum(rec[:, :, 3], r - 1)]
+        cid_dn = cids[np.minimum(rec[:, :, 4], r - 1)]
+        f6 = cid_id | (cid_id1 << 16)
+        f7 = cid_up | (cid_dn << 16)
+        rec8 = np.concatenate(
+            [rec, f6[:, :, None], f7[:, :, None]], axis=2)
+        records8 = jnp.asarray(
+            rec8.reshape(r * slots, 8).astype(np.int32))
     return FusedColorIndex(
         fi=fi,
-        doc_set_inds=jnp.asarray(
-            np.minimum(ct.doc_set_inds,
-                       len(ct.unique_doc_sets)).astype(np.int32)),
-        num_colors=len(ct.unique_doc_sets))
+        doc_set_inds=jnp.asarray(cids.astype(np.int32)),
+        records8=records8,
+        num_colors=C)
+
+
+def fused_color_step(records8, slots, state, a_eff):
+    """One PML base step + the post-LF run's color id, from a single
+    8-wide record gather (fused_pml_step math plus the cid selectors)."""
+    idx, offset, ml = state
+    rec = jnp.take(records8, idx * slots + a_eff, axis=0)  # [lanes, 8]
+    f0 = rec[:, 0]
+    thr = f0 & 0xFFFF
+    is_match = (f0 >> 16) & 1
+    use_lf = (f0 >> 17) & 1
+
+    f2 = rec[:, 2]
+    off0 = (f2 >> 16) + offset
+    cum1 = f2 & 0xFFFF
+    ff = (off0 >= cum1).astype(jnp.int32)
+    c1_run = rec[:, 1] + ff
+    c1_off = off0 - ff * cum1
+
+    down = offset >= thr
+    c2_run = jnp.where(down, rec[:, 4], rec[:, 3])
+    f5 = rec[:, 5]
+    c2_off = jnp.where(down, f5 >> 16, f5 & 0xFFFF)
+
+    lf_path = use_lf == 1
+    new_idx = jnp.where(lf_path, c1_run, c2_run)
+    new_off = jnp.where(lf_path, c1_off, c2_off)
+    new_ml = jnp.where(is_match == 1, ml + 1, 0)
+
+    f6, f7 = rec[:, 6], rec[:, 7]
+    cid_c1 = jnp.where(ff == 1, (f6 >> 16) & 0xFFFF, f6 & 0xFFFF)
+    cid_c2 = jnp.where(down, (f7 >> 16) & 0xFFFF, f7 & 0xFFFF)
+    cid = jnp.where(lf_path, cid_c1, cid_c2)
+    return (new_idx, new_off, new_ml), (new_ml, cid)
 
 
 @jax.jit
@@ -82,15 +143,20 @@ def _fused_color_scan(ci: FusedColorIndex, alphas_t: jax.Array):
     fi = ci.fi
     lanes = alphas_t.shape[1]
     slots = fi.sigma + 1
+    # widen uint8 xs once on device (see _fused_pml_scan)
+    alphas_t = alphas_t.astype(jnp.int32)
     idx0 = jnp.full((lanes,), fi.start_idx, dtype=jnp.int32)
     off0 = jnp.full((lanes,), fi.start_offset, dtype=jnp.int32)
     ml0 = jnp.zeros((lanes,), dtype=jnp.int32)
 
-    def step(state, a):
-        new_state, ml = fused_pml_step(fi.records, slots, state,
-                                       a.astype(jnp.int32))
-        cid = jnp.take(ci.doc_set_inds, new_state[0], axis=0)
-        return new_state, (ml, cid)
+    if ci.records8 is not None:
+        def step(state, a):
+            return fused_color_step(ci.records8, slots, state, a)
+    else:
+        def step(state, a):
+            new_state, ml = fused_pml_step(fi.records, slots, state, a)
+            cid = jnp.take(ci.doc_set_inds, new_state[0], axis=0)
+            return new_state, (ml, cid)
 
     _, (ml, color) = jax.lax.scan(step, (idx0, off0, ml0), alphas_t)
     return ml, color

@@ -85,12 +85,13 @@ def _pml_pre_state_scan(sx: FusedSAIndex, alphas_t: jax.Array):
     fi = sx.fi
     lanes = alphas_t.shape[1]
     slots = fi.sigma + 1
+    # widen uint8 xs once on device (see _fused_pml_scan)
+    alphas_t = alphas_t.astype(jnp.int32)
     idx0 = jnp.full((lanes,), fi.start_idx, jnp.int32)
     off0 = jnp.full((lanes,), fi.start_offset, jnp.int32)
     ml0 = jnp.zeros((lanes,), jnp.int32)
 
-    def step(state, a_raw):
-        a = a_raw.astype(jnp.int32)
+    def step(state, a):
         idx, offset, _ = state
         rec_key = idx * slots + a
         rec = jnp.take(fi.records, rec_key, axis=0)

@@ -40,8 +40,12 @@ _GUARD = 0xFFFF
 class FusedSearchIndex:
     r: int
     sigma: int
-    rec_down: jax.Array   # int32 [r*sigma, 4]
-    rec_up: jax.Array     # int32 [r*sigma, 4]
+    # both direction tables concatenated: rows [0, sigma*r) are the
+    # "down" records (interval start), rows [sigma*r, 2*sigma*r) the
+    # "up" records (interval end).  One table so a step's two record
+    # fetches issue as ONE gather of 2*lanes indices -- two dependent
+    # gathers serialize on the scalar core and cost ~2x (measured).
+    rec_all: jax.Array    # int32 [2*r*sigma, 4]
     first_runs: jax.Array
     first_offsets: jax.Array
     last_runs: jax.Array
@@ -52,7 +56,7 @@ class FusedSearchIndex:
 
 jax.tree_util.register_dataclass(
     FusedSearchIndex,
-    data_fields=["rec_down", "rec_up", "first_runs", "first_offsets",
+    data_fields=["rec_all", "first_runs", "first_offsets",
                  "last_runs", "last_offsets", "all_p", "alphamap_query"],
     meta_fields=["r", "sigma"],
 )
@@ -81,7 +85,7 @@ def build_fused_search_index(ix: MoveIndex) -> FusedSearchIndex:
             rec[a, :, 1] = idd
             rec[a, :, 2] = cum1 | (ix.offset_arr[d].astype(np.int64) << 16)
             rec[a, :, 3] = n64[d]
-        return jnp.asarray(rec.reshape(sigma * r, 4).astype(np.int32))
+        return rec.reshape(sigma * r, 4).astype(np.int32)
 
     alphamap_query = np.full(256, -1, dtype=np.int32)
     for a, ch in enumerate(ix.alphabet):
@@ -92,7 +96,7 @@ def build_fused_search_index(ix: MoveIndex) -> FusedSearchIndex:
 
     return FusedSearchIndex(
         r=r, sigma=sigma,
-        rec_down=records(nds), rec_up=records(nus),
+        rec_all=jnp.asarray(np.concatenate([records(nds), records(nus)])),
         first_runs=jnp.asarray(ix.first_runs.astype(np.int32)),
         first_offsets=jnp.asarray(ix.first_offsets.astype(np.int32)),
         last_runs=jnp.asarray(ix.last_runs.astype(np.int32)),
@@ -112,11 +116,17 @@ def _lf_from_rec(rec, offset):
 
 
 def fused_bs_step(si: FusedSearchIndex, rs, os_, re, oe, a):
-    """backward_search_step: returns (rs', os', re', oe', empty)."""
+    """backward_search_step: returns (rs', os', re', oe', empty).
+    Both record fetches go out as one gather of 2*lanes indices into the
+    concatenated table (see FusedSearchIndex.rec_all)."""
     r = si.r
     a_s = jnp.maximum(a, 0)
-    rd = jnp.take(si.rec_down, a_s * r + jnp.minimum(rs, r - 1), axis=0)
-    ru = jnp.take(si.rec_up, a_s * r + jnp.minimum(re, r - 1), axis=0)
+    lanes = rs.shape[0]
+    keys = jnp.concatenate([
+        a_s * r + jnp.minimum(rs, r - 1),
+        si.sigma * r + a_s * r + jnp.minimum(re, r - 1)])
+    both = jnp.take(si.rec_all, keys, axis=0)
+    rd, ru = both[:lanes], both[lanes:]
     drs = rd[:, 0]
     dre = ru[:, 0]
     empty = (a < 0) | (drs >= r) | (drs > re)
@@ -138,7 +148,10 @@ def _init_interval(si: FusedSearchIndex, a):
 @jax.jit
 def fused_count_scan(si: FusedSearchIndex, alphas_t: jax.Array):
     """Count query (query_backward_search).  alphas_t: [W, lanes],
-    -1 = illegal, -2 = beyond read.  Returns (matched, count)."""
+    -1 = illegal, -2 = beyond read.  Returns (matched, count).
+    int8 xs are widened once on device (per-step slicing of sub-int32
+    xs is ~3x slower; see engine/fused.py)."""
+    alphas_t = alphas_t.astype(jnp.int32)
     a0 = alphas_t[0]
     legal0 = a0 >= 0
     rs, os_, re, oe = _init_interval(si, a0)
@@ -170,6 +183,7 @@ def fused_count_scan(si: FusedSearchIndex, alphas_t: jax.Array):
 @jax.jit
 def fused_zml_scan(si: FusedSearchIndex, alphas_t: jax.Array):
     """ZML (query_zml recurrence, see engine/search.py)."""
+    alphas_t = alphas_t.astype(jnp.int32)
     W, lanes = alphas_t.shape
     a0 = alphas_t[0]
     legal0 = a0 >= 0
@@ -209,7 +223,10 @@ class FusedCountEngine:
         W = batch.width
         t_idx = np.arange(W)[None, :]
         alphas = np.where(t_idx >= batch.lengths[:, None], -2, alphas)
-        matched, count = fused_count_scan(self.si, jnp.asarray(alphas.T))
+        # ship as int8 (values in [-2, sigma)); widened on device
+        matched, count = fused_count_scan(
+            self.si, jnp.asarray(np.ascontiguousarray(alphas.T)
+                                 .astype(np.int8)))
         matched = np.asarray(matched)
         count = np.asarray(count)
         return [(int(batch.lengths[i]) - int(matched[i]), int(count[i]))
@@ -223,6 +240,8 @@ class FusedZMLEngine:
     def query_batch(self, batch: ReadBatch) -> List[List[int]]:
         seqs_rev = batch.seqs[:, ::-1]
         alphas = self.si.alphamap_query[seqs_rev].astype(np.int32)
-        ml = np.asarray(fused_zml_scan(self.si, jnp.asarray(alphas.T)))
+        ml = np.asarray(fused_zml_scan(
+            self.si, jnp.asarray(np.ascontiguousarray(alphas.T)
+                                 .astype(np.int8))))
         return [ml[: int(batch.lengths[i]), i].tolist()
                 for i in range(batch.lanes)]

@@ -375,9 +375,43 @@ def read_movi_header(path: str):
                 end_bwt_idx=end_bwt_idx)
 
 
+def _reconstruct_ids(n_arr: np.ndarray, c_arr: np.ndarray,
+                     end_bwt_idx: int):
+    """Full LF-destination runs from (n, c) alone.
+
+    Blocked rows store ids as 24-bit deltas from per-block checkpoints
+    and tally rows store no id at all (move_row_configs.hpp:54-136); on
+    the TPU the ids are always materialized as full arrays, so instead of
+    porting the checkpoint walks we recompute LF directly: the head of
+    the k-th run of character a maps to position
+    1 + (total of chars < a) + (rows of a in earlier a-runs), and the
+    '$' run maps to row 0.  Returns (id_arr, offset_arr)."""
+    r = len(n_arr)
+    n64 = n_arr.astype(np.int64)
+    all_p = np.concatenate([[0], np.cumsum(n64)])
+    sigma = int(c_arr.max()) + 1
+    mask = np.arange(r) != end_bwt_idx
+    lf_abs = np.zeros(r, dtype=np.int64)
+    totals = np.zeros(sigma, dtype=np.int64)
+    for a in range(sigma):
+        rows_a = np.flatnonzero(mask & (c_arr == a))
+        totals[a] = n64[rows_a].sum()
+    base = 1 + np.concatenate([[0], np.cumsum(totals)[:-1]])
+    for a in range(sigma):
+        rows_a = np.flatnonzero(mask & (c_arr == a))
+        cum = np.concatenate([[0], np.cumsum(n64[rows_a])[:-1]])
+        lf_abs[rows_a] = base[a] + cum
+    lf_abs[end_bwt_idx] = 0
+    id_arr = np.searchsorted(all_p[1:-1], lf_abs, side="right")
+    offset_arr = (lf_abs - all_p[id_arr]).astype(np.int32)
+    return id_arr.astype(np.int64), offset_arr
+
+
 def read_movi(path: str) -> MoveIndex:
-    """Deserialize a regular/regular-thresholds/large index.movi into a
-    MoveIndex (SoA).  Used for interop with reference-built indexes."""
+    """Deserialize a reference index.movi into a MoveIndex (SoA):
+    regular(-thresholds), large, blocked(-thresholds), and
+    sampled(-thresholds) layouts.  Used for interop with reference-built
+    indexes."""
     hdr = read_movi_header(path)
     mode_num = hdr["mode_num"]
     mode = {0: "large", 2: "blocked", 3: "regular", 5: "sampled",
@@ -431,6 +465,53 @@ def read_movi(path: str) -> MoveIndex:
                     status == 0, 0,
                     np.where(status == 3, n_arr,
                              rows["thr"].astype(np.int32)))
+        elif mode_num in (2, 8):
+            # blocked 6 B rows (move_row_configs.hpp:54-104); the 24-bit
+            # id deltas are ignored -- ids are recomputed in full
+            rows = np.frombuffer(
+                f.read(r * 6),
+                dtype=[("id", "<u2"), ("n", "<u2"), ("off", "<u2")])
+            n_arr = (rows["n"] & 0x3FF).astype(np.int32)
+            offset_arr = (rows["off"] & 0x3FF).astype(np.int32)
+            c_arr = ((rows["off"] >> 10) & 0x7).astype(np.uint8)
+            thr = None
+            if mode_num == 8:
+                n64 = n_arr.astype(np.int64)
+                thr = np.stack(
+                    [((rows["off"] >> (13 + s)) & 1).astype(np.int64) * n64
+                     for s in range(3)], axis=1).astype(np.int32)
+            id_arr, off2 = _reconstruct_ids(n_arr, c_arr,
+                                            hdr["end_bwt_idx"])
+            assert np.array_equal(off2, offset_arr), \
+                "blocked offset mismatch during id reconstruction"
+        elif mode_num in (5, 7):
+            # tally 3 B rows (move_row_configs.hpp:107-136); no id stored
+            rows = np.frombuffer(
+                f.read(r * 3), dtype=[("n", "u1"), ("off", "u1"),
+                                      ("c", "u1")])
+            cf = rows["c"].astype(np.int32)
+            if mode_num == 7:
+                n_arr = rows["n"].astype(np.int32) | (((cf >> 1) & 1) << 8)
+                offset_arr = rows["off"].astype(np.int32) | ((cf & 1) << 8)
+                c_arr = ((cf >> 2) & 0x7).astype(np.uint8)
+                n64 = n_arr.astype(np.int64)
+                thr = np.stack(
+                    [((cf >> (5 + s)) & 1).astype(np.int64) * n64
+                     for s in range(3)], axis=1).astype(np.int32)
+            else:
+                n_arr = rows["n"].astype(np.int32) | (((cf >> 2) & 3) << 8)
+                offset_arr = rows["off"].astype(np.int32) | ((cf & 3) << 8)
+                c_arr = ((cf >> 4) & 0x7).astype(np.uint8)
+                thr = None
+            # skip the tally checkpoint table (rebuilt on write)
+            (ckpt,) = struct.unpack("<I", f.read(4))
+            (nlen,) = struct.unpack("<Q", f.read(8))
+            sigma_f = len(alphabet)
+            f.read(sigma_f * nlen * 5)
+            id_arr, off2 = _reconstruct_ids(n_arr, c_arr,
+                                            hdr["end_bwt_idx"])
+            assert np.array_equal(off2, offset_arr), \
+                "tally offset mismatch during id reconstruction"
         else:
             raise NotImplementedError(
                 f"read_movi for mode {mode} not supported yet")

@@ -85,3 +85,25 @@ def test_movi_roundtrip_large(bwt_runs, sample_reads, tmp_path):
     e1, e2 = ScalarEngine(ix), ScalarEngine(ix2)
     for name, seq in sample_reads[:3]:
         assert e1.query_pml(seq) == e2.query_pml(seq), name
+
+
+@pytest.mark.parametrize("mode", ["blocked", "blocked-thresholds",
+                                  "sampled", "sampled-thresholds"])
+def test_movi_roundtrip_blocked_tally(bwt_runs, tmp_path, mode):
+    """Blocked/tally index.movi files read back with ids reconstructed in
+    full from (n, c) -- the TPU layout never uses delta/checkpoint ids."""
+    import numpy as np
+
+    from movi_tpu.index.movi_format import read_movi, write_movi
+    from movi_tpu.index.structure import build_move_index
+
+    ix = build_move_index(bwt_runs, mode)
+    p = str(tmp_path / "index.movi")
+    write_movi(ix, p)
+    ix2 = read_movi(p)
+    assert np.array_equal(ix2.n_arr, ix.n_arr)
+    assert np.array_equal(ix2.offset_arr, ix.offset_arr)
+    assert np.array_equal(ix2.id_arr, ix.id_arr)
+    assert np.array_equal(ix2.c_arr, ix.c_arr)
+    if ix.thr is not None:
+        assert np.array_equal(ix2.thr, ix.thr)

@@ -7,7 +7,8 @@ The emitted files match the reference's exact byte sizes (the contract of
 tests/test_build.cpp) and the documented field semantics; padding and
 fields the reference leaves unset are zeroed.
 
-Supported modes: large(0), blocked(2), regular(3), sampled(5),
+All 9 reference modes serialize byte-size-exactly and read back:
+large(0), constant(1), blocked(2), regular(3), split(4), sampled(5),
 regular-thresholds(6), sampled-thresholds(7), blocked-thresholds(8).
 """
 
@@ -414,9 +415,9 @@ def read_movi(path: str) -> MoveIndex:
     indexes."""
     hdr = read_movi_header(path)
     mode_num = hdr["mode_num"]
-    mode = {0: "large", 2: "blocked", 3: "regular", 5: "sampled",
-            6: "regular-thresholds", 7: "sampled-thresholds",
-            8: "blocked-thresholds"}[mode_num]
+    mode = {0: "large", 1: "constant", 2: "blocked", 3: "regular",
+            4: "split", 5: "sampled", 6: "regular-thresholds",
+            7: "sampled-thresholds", 8: "blocked-thresholds"}[mode_num]
     use_thr = mode_num in (0, 6, 7, 8)
     with open(path, "rb") as f:
         f.seek(48)
@@ -447,11 +448,20 @@ def read_movi(path: str) -> MoveIndex:
                 n64 = n_arr.astype(np.int64)
                 thr = np.stack([b0 * n64, b1 * n64, b2 * n64],
                                axis=1).astype(np.int32)
-        elif mode_num in (0,):
-            rows = np.frombuffer(
-                f.read(r * 12),
-                dtype=[("id", "<u4"), ("n", "<u2"), ("off", "<u2"),
-                       ("thr", "<u2"), ("ovf", "u1"), ("ts", "u1")])
+        elif mode_num in (0, 1, 4):
+            # large/split 12 B rows; constant appends 3+3 u16 next
+            # pointers (rebuilt on demand from the SoA layout)
+            if mode_num == 1:
+                rows = np.frombuffer(
+                    f.read(r * 24),
+                    dtype=[("id", "<u4"), ("n", "<u2"), ("off", "<u2"),
+                           ("thr", "<u2"), ("ovf", "u1"), ("ts", "u1"),
+                           ("nup", "<u2", (3,)), ("ndown", "<u2", (3,))])
+            else:
+                rows = np.frombuffer(
+                    f.read(r * 12),
+                    dtype=[("id", "<u4"), ("n", "<u2"), ("off", "<u2"),
+                           ("thr", "<u2"), ("ovf", "u1"), ("ts", "u1")])
             n_arr = rows["n"].astype(np.int32)
             offset_arr = rows["off"].astype(np.int32)
             id_arr = rows["id"].astype(np.int64) | \

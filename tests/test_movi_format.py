@@ -88,7 +88,8 @@ def test_movi_roundtrip_large(bwt_runs, sample_reads, tmp_path):
 
 
 @pytest.mark.parametrize("mode", ["blocked", "blocked-thresholds",
-                                  "sampled", "sampled-thresholds"])
+                                  "sampled", "sampled-thresholds",
+                                  "constant", "split"])
 def test_movi_roundtrip_blocked_tally(bwt_runs, tmp_path, mode):
     """Blocked/tally index.movi files read back with ids reconstructed in
     full from (n, c) -- the TPU layout never uses delta/checkpoint ids."""

@@ -40,6 +40,17 @@ def _as_reads(reads: Reads) -> List[Tuple[str, bytes]]:
     return list(reads)
 
 
+def _as_batches(reads: Reads, lanes: int):
+    """Device-path batching: files go through the native C++ reader +
+    packer (io/fastx.batches_from_file) with no per-read Python objects."""
+    if isinstance(reads, (str, os.PathLike)):
+        from .io.fastx import batches_from_file
+
+        yield from batches_from_file(str(reads), lanes=lanes)
+    else:
+        yield from make_batches(list(reads), lanes=lanes)
+
+
 class Index:
     def __init__(self, ix: MoveIndex, bwt_runs=None):
         self.ix = ix
@@ -90,17 +101,17 @@ class Index:
 
     # --------------------------------------------------------- queries
     def query_pml(self, reads: Reads, lanes: int = 8192, jax: bool = True):
-        reads = _as_reads(reads)
         if jax and self.ix.thr is not None and self._is_bounded():
             if self._fused_pml is None:
                 from .engine.fused import FusedPMLEngine, build_fused_index
 
                 self._fused_pml = FusedPMLEngine(build_fused_index(self.ix))
             out = []
-            for batch in make_batches(reads, lanes=lanes):
+            for batch in _as_batches(reads, lanes):
                 out.extend(zip(batch.names,
                                self._fused_pml.query_batch(batch)))
             return out
+        reads = _as_reads(reads)
         rand = self.ix.thr is None
         return [(n, self.scalar.query_pml(s, random_repositioning=rand))
                 for n, s in reads]
@@ -116,23 +127,23 @@ class Index:
         return self._fused_search
 
     def query_count(self, reads: Reads, lanes: int = 8192, jax: bool = True):
-        reads = _as_reads(reads)
         if jax and self._is_bounded():
             ce, _ = self._search_engines()
             out = []
-            for batch in make_batches(reads, lanes=lanes):
+            for batch in _as_batches(reads, lanes):
                 out.extend(zip(batch.names, ce.query_batch(batch)))
             return out
+        reads = _as_reads(reads)
         return [(n, self.scalar.query_count(s)) for n, s in reads]
 
     def query_zml(self, reads: Reads, lanes: int = 8192, jax: bool = True):
-        reads = _as_reads(reads)
         if jax and self._is_bounded():
             _, ze = self._search_engines()
             out = []
-            for batch in make_batches(reads, lanes=lanes):
+            for batch in _as_batches(reads, lanes):
                 out.extend(zip(batch.names, ze.query_batch(batch)))
             return out
+        reads = _as_reads(reads)
         return [(n, self.scalar.query_zml(s)) for n, s in reads]
 
     def query_mems(self, reads: Reads, min_mem_length: int = 0,

@@ -19,11 +19,120 @@ def _open_maybe_gz(path: str):
     return open(path, "rb")
 
 
-def iter_fastx(path: str) -> Iterator[Tuple[str, bytes]]:
+def read_fastx_native(path: str):
+    """Parse a FASTA/FASTQ file (plain or gz) with the C++ reader
+    (native/movi_native.cpp movi_fastx_{scan,parse}), the production
+    replacement for the reference's kseq.h: Python line parsing cannot
+    keep up with the >200 Mbases/s device engines (SURVEY.md "Host I/O
+    throughput").  Returns (names list, seqs uint8 concat, seq_offsets
+    int64[n+1], lengths int32[n]) or None when the library is not built.
+    """
+    import ctypes
+
+    from ..build.suffix import _load_native
+
+    lib = _load_native()
+    if not lib:
+        return None
+    if not hasattr(lib, "_fastx_ready"):
+        lib.movi_fastx_scan.argtypes = [ctypes.c_char_p] + \
+            [ctypes.POINTER(ctypes.c_int64)] * 3
+        lib.movi_fastx_scan.restype = ctypes.c_int
+        lib.movi_fastx_parse.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64)]
+        lib.movi_fastx_parse.restype = ctypes.c_int
+        lib._fastx_ready = True
+    n = ctypes.c_int64()
+    sb = ctypes.c_int64()
+    nb = ctypes.c_int64()
+    p = path.encode()
+    if lib.movi_fastx_scan(p, ctypes.byref(n), ctypes.byref(sb),
+                           ctypes.byref(nb)) != 0:
+        raise IOError(f"cannot read {path}")
+    n, sb, nb = n.value, sb.value, nb.value
+    seqs = np.empty(sb, dtype=np.uint8)
+    seq_offsets = np.empty(n + 1, dtype=np.int64)
+    lengths = np.empty(max(n, 1), dtype=np.int32)
+    names_buf = ctypes.create_string_buffer(max(nb, 1))
+    name_offsets = np.empty(n + 1, dtype=np.int64)
+    rc = lib.movi_fastx_parse(
+        p, seqs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        seq_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        names_buf, name_offsets.ctypes.data_as(
+            ctypes.POINTER(ctypes.c_int64)))
+    assert rc == 0
+    raw_names = names_buf.raw
+    names = [raw_names[name_offsets[i]:name_offsets[i + 1]].decode()
+             for i in range(n)]
+    return names, seqs, seq_offsets, lengths[:n]
+
+
+def batches_from_file(path: str, lanes: int, reverse: bool = False,
+                      bucket_widths: bool = True):
+    """File -> padded ReadBatches with NO per-read Python objects: the
+    C++ reader fills flat arrays, and the right-aligned [lanes, W] batch
+    is assembled with one vectorized scatter per batch.  This is the
+    production input path (the reference's BatchLoader + kseq,
+    batch_loader.cpp:26-144).  Falls back to iter_fastx + make_batches
+    when the native library is not built."""
+    parsed = read_fastx_native(path)
+    if parsed is None:
+        yield from make_batches(list(iter_fastx(path, native=False)),
+                                lanes=lanes, reverse=reverse,
+                                bucket_widths=bucket_widths)
+        return
+    import ctypes
+
+    from ..build.suffix import _load_native
+
+    lib = _load_native()
+    if not hasattr(lib, "_fastx_pack_ready"):
+        lib.movi_fastx_pack.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int, ctypes.POINTER(ctypes.c_uint8)]
+        lib.movi_fastx_pack.restype = ctypes.c_int
+        lib._fastx_pack_ready = True
+
+    names, seqs, offs, lengths = parsed
+    n = len(names)
+    seqs_p = seqs.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    offs_p = offs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    len_p = lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+    for start in range(0, n, lanes):
+        end = min(start + lanes, n)
+        nl = end - start
+        w = int(lengths[start:end].max()) if nl else 1
+        if bucket_widths:
+            w = _width_bucket(w)
+        batch = np.empty((nl, w), dtype=np.uint8)
+        rc = lib.movi_fastx_pack(
+            seqs_p, offs_p, len_p, start, nl, w, int(reverse),
+            batch.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        assert rc == 0
+        yield ReadBatch(names=names[start:end], seqs=batch,
+                        lengths=np.minimum(lengths[start:end], w)
+                        .astype(np.int32))
+
+
+def iter_fastx(path: str, native: bool = True
+               ) -> Iterator[Tuple[str, bytes]]:
     """Yield (read id, sequence bytes) from FASTA or FASTQ (optionally gz).
 
     Like kseq, the read id is the header token up to the first whitespace.
+    Uses the C++ batched reader when built; falls back to Python parsing.
     """
+    if native:
+        parsed = read_fastx_native(path)
+        if parsed is not None:
+            names, seqs, offs, lengths = parsed
+            blob = seqs.tobytes()
+            for i, name in enumerate(names):
+                yield name, blob[offs[i]:offs[i + 1]]
+            return
     with _open_maybe_gz(path) as f:
         first = f.peek(1)[:1] if hasattr(f, "peek") else None
         line = f.readline()

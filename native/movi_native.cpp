@@ -10,7 +10,10 @@
 
 #include <cstdint>
 #include <cstring>
+#include <string>
 #include <vector>
+
+#include <zlib.h>
 
 namespace {
 
@@ -239,6 +242,158 @@ int movi_lf_sweep(const int32_t* n, const int32_t* off, const int64_t* id,
     while (index < r - 1 && offset >= n[index]) {
       offset -= n[index];
       index++;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Batched FASTA/FASTQ reader (plain or gzip via zlib), replacing the
+// reference's vendored kseq (include/kseq.h) for production host I/O:
+// Python-level line parsing cannot keep up with the >200 Mbases/s query
+// engines (SURVEY.md "Host I/O throughput").
+//
+// Two-pass ctypes interface:
+//   movi_fastx_scan  -> (#reads, total sequence bytes, total name bytes)
+//   movi_fastx_parse -> concatenated seqs + per-read (offset, length),
+//                       concatenated names + per-read name offsets
+// Multi-line FASTA records are concatenated; FASTQ quality lines are
+// skipped (the '+' separator delimits them).
+
+namespace {
+
+struct FastxVisitor {
+  // callback-style single implementation used by both passes
+  template <typename OnName, typename OnSeqChunk, typename OnRecordEnd>
+  static int run(const char* path, OnName on_name, OnSeqChunk on_seq,
+                 OnRecordEnd on_end) {
+    gzFile f = gzopen(path, "rb");
+    if (!f) return 1;
+    std::vector<char> buf(1 << 20);
+    std::string line;
+    bool in_record = false;
+    bool fastq = false;
+    int fastq_line = 0;  // 0=seq, 1='+', 2=qual
+    auto start_record = [&](const char* s, int64_t len) {
+      in_record = true;
+      fastq = (s[0] == '@');
+      fastq_line = 0;
+      int64_t e = 1;  // name = up to first whitespace
+      while (e < len && s[e] != ' ' && s[e] != '\t') e++;
+      on_name(s + 1, e - 1);
+    };
+    auto handle_line = [&](const char* s, int64_t len) {
+      if (len > 0 && (s[len - 1] == '\r')) len--;
+      if (len == 0) return;
+      if (!in_record) {
+        if (s[0] == '>' || s[0] == '@') start_record(s, len);
+        return;
+      }
+      if (fastq) {
+        if (fastq_line == 0) {
+          if (s[0] == '+') { fastq_line = 1; return; }
+          on_seq(s, len);
+        } else {  // the quality line ends the record
+          on_end();
+          in_record = false;
+        }
+      } else {
+        if (s[0] == '>' || s[0] == '@') {
+          on_end();
+          start_record(s, len);
+          return;
+        }
+        on_seq(s, len);
+      }
+    };
+    std::string pending;
+    while (true) {
+      int got = gzread(f, buf.data(), (unsigned)buf.size());
+      if (got < 0) { gzclose(f); return 2; }
+      if (got == 0) break;
+      int64_t start = 0;
+      while (start < got) {
+        const char* nl = (const char*)std::memchr(
+            buf.data() + start, '\n', (size_t)(got - start));
+        if (!nl) break;
+        int64_t i = nl - buf.data();
+        if (!pending.empty()) {
+          pending.append(buf.data() + start, i - start);
+          handle_line(pending.data(), (int64_t)pending.size());
+          pending.clear();
+        } else {
+          handle_line(buf.data() + start, i - start);
+        }
+        start = i + 1;
+      }
+      if (start < got) pending.append(buf.data() + start, got - start);
+    }
+    if (!pending.empty()) handle_line(pending.data(), (int64_t)pending.size());
+    if (in_record) on_end();
+    gzclose(f);
+    return 0;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+int movi_fastx_scan(const char* path, int64_t* n_reads, int64_t* seq_bytes,
+                    int64_t* name_bytes) {
+  int64_t nr = 0, sb = 0, nb = 0;
+  int rc = FastxVisitor::run(
+      path,
+      [&](const char* s, int64_t len) { nr++; nb += len; },
+      [&](const char* s, int64_t len) { sb += len; },
+      [&]() {});
+  *n_reads = nr;
+  *seq_bytes = sb;
+  *name_bytes = nb;
+  return rc;
+}
+
+int movi_fastx_parse(const char* path, uint8_t* seqs, int64_t* seq_offsets,
+                     int32_t* lengths, char* names, int64_t* name_offsets) {
+  int64_t ri = 0, spos = 0, npos = 0, cur_len = 0;
+  int rc = FastxVisitor::run(
+      path,
+      [&](const char* s, int64_t len) {
+        name_offsets[ri] = npos;
+        std::memcpy(names + npos, s, len);
+        npos += len;
+        seq_offsets[ri] = spos;
+        cur_len = 0;
+      },
+      [&](const char* s, int64_t len) {
+        std::memcpy(seqs + spos, s, len);
+        spos += len;
+        cur_len += len;
+      },
+      [&]() { lengths[ri++] = (int32_t)cur_len; });
+  name_offsets[ri] = npos;
+  seq_offsets[ri] = spos;
+  return rc;
+}
+
+// Right-aligned batch packing: out[nl, w] <- reads [start, start+nl) of
+// the flat (seqs, offsets, lengths) arrays, padded with 0xFF on the left
+// (optionally with each read reversed in place for --reverse).
+int movi_fastx_pack(const uint8_t* seqs, const int64_t* offs,
+                    const int32_t* lengths, int64_t start, int64_t nl,
+                    int64_t w, int reverse, uint8_t* out) {
+  std::memset(out, 0xFF, (size_t)(nl * w));
+  for (int64_t i = 0; i < nl; i++) {
+    int64_t L = lengths[start + i];
+    if (L > w) L = w;
+    const uint8_t* src = seqs + offs[start + i];
+    uint8_t* dst = out + i * w + (w - L);
+    if (reverse) {
+      for (int64_t j = 0; j < L; j++) dst[j] = src[L - 1 - j];
+    } else {
+      std::memcpy(dst, src, (size_t)L);
     }
   }
   return 0;

@@ -237,3 +237,33 @@ def test_read_bpf_headerless(tmp_path):
         f.write(struct.pack("<3I", *vals))
     got = read_bpf(p, entry_size_hint=32)
     assert got == [("r1", [3, 2, 1])]
+
+
+def test_native_fastx_reader(tmp_path):
+    """C++ batched reader == Python parser (iter_fastx, make_batches),
+    incl. gz, multi-line FASTA, CRLF, and --reverse packing."""
+    import gzip
+
+    from movi_tpu.io.fastx import batches_from_file, iter_fastx, make_batches
+
+    fq = os.path.join(REF_DATA, "sample.fastq")
+    fa = str(tmp_path / "multi.fa")
+    with open(fa, "w") as f:
+        f.write(">r1 comment\r\nACGT\r\nACGTAC\r\n>r2\nTTTT\n\n>r3 x\nGG\n")
+    gz = str(tmp_path / "s.fastq.gz")
+    with open(fq, "rb") as f:
+        data = f.read()
+    with gzip.open(gz, "wb") as f:
+        f.write(data)
+    for p in (fq, fa, gz):
+        assert list(iter_fastx(p, native=True)) == \
+            list(iter_fastx(p, native=False)), p
+        for rev in (False, True):
+            want = list(make_batches(list(iter_fastx(p, native=False)),
+                                     lanes=7, reverse=rev))
+            got = list(batches_from_file(p, lanes=7, reverse=rev))
+            assert len(want) == len(got)
+            for a, b in zip(want, got):
+                assert a.names == b.names
+                assert np.array_equal(a.seqs, b.seqs), (p, rev)
+                assert np.array_equal(a.lengths, b.lengths)

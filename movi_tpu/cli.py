@@ -190,6 +190,21 @@ def cmd_query(args):
     from .io.fastx import iter_fastx, make_batches
     from .io.outputs import BPFWriter, count_line, pml_stdout_lines
 
+    if args.profile:
+        # TPU-native tracing (the analogue of the reference's --logs
+        # chrono sampling): wraps the whole query in a profiler trace
+        # viewable with tensorboard/xprof
+        import jax as _jax
+
+        _jax.profiler.start_trace(args.profile)
+        try:
+            args.profile = ""
+            cmd_query(args)
+        finally:
+            _jax.profiler.stop_trace()
+        _log("profiler trace written")
+        return
+
     ix = _load_index(args.index, mmap=args.mmap)
     qt = _query_type(args)
     reads = list(iter_fastx(args.read))
@@ -948,6 +963,8 @@ def main(argv=None):
                    help="random repositioning PMLs (RPMLs)")
     q.add_argument("--logs", action="store_true",
                    help="write .costs/.scans/.fastforwards trace files")
+    q.add_argument("--profile", default="",
+                   help="write a jax.profiler trace to this directory")
     q.add_argument("--mmap", action="store_true",
                    help="memory-map the index row arrays")
     q.add_argument("--no-output", action="store_true",

@@ -32,6 +32,16 @@ class BatchStream:
 
     def _produce(self):
         try:
+            if self.width is None:
+                # fast path: C++ parse + pack with no per-read objects
+                # (falls back internally if the library is not built)
+                from .fastx import batches_from_file
+
+                for b in batches_from_file(self.path, self.lanes,
+                                           reverse=self.reverse):
+                    self.q.put(b)
+                self.q.put(None)
+                return
             pending: List[Tuple[str, bytes]] = []
             for name, seq in iter_fastx(self.path):
                 pending.append((name, seq))

@@ -120,6 +120,12 @@ def cmd_build(args):
     if args.mmap:
         ix.save_mmap(os.path.join(args.index, "index.mmap"))
         _log("wrote mmap layout index.mmap/")
+    if args.fused_cache:
+        from .engine.fused import build_fused_index, save_fused_index
+
+        save_fused_index(build_fused_index(ix),
+                         os.path.join(args.index, "fused_records.npz"))
+        _log("wrote fused step records (query startup skips the rebuild)")
 
     if args.ftab_k > 1:
         from .cpu_ref.advanced import AdvancedEngine
@@ -506,9 +512,13 @@ def cmd_query(args):
 
         eng = None
         if qt == "pml" and ix.thr is not None and bounded and not args.rpml:
-            from .engine.fused import FusedPMLEngine, build_fused_index
+            from .engine.fused import (FusedPMLEngine, build_fused_index,
+                                       load_fused_index)
 
-            eng = FusedPMLEngine(build_fused_index(ix))
+            cache = os.path.join(args.index, "fused_records.npz")
+            fi = (load_fused_index(cache) if os.path.exists(cache)
+                  else build_fused_index(ix))
+            eng = FusedPMLEngine(fi)
             _log("using the fused single-gather engine")
         elif qt in ("count", "zml") and bounded:
             from .engine.fused_search import (FusedCountEngine,
@@ -923,6 +933,9 @@ def main(argv=None):
                         "instead of a FASTA (movi build --preprocessed)")
     b.add_argument("--mmap", action="store_true",
                    help="also write a demand-pageable index.mmap/ layout")
+    b.add_argument("--fused-cache", action="store_true",
+                   help="precompute and store the fused step records "
+                        "(skips the per-process rebuild at query time)")
     b.add_argument("--checkpoint", type=int, default=20,
                    help="tally id checkpoint spacing for sampled modes "
                         "(reference --checkpoint, default 20)")

@@ -144,6 +144,25 @@ def build_fused_index(ix: MoveIndex) -> FusedIndex:
     )
 
 
+def save_fused_index(fi: FusedIndex, path: str):
+    """Persist the precomputed step records so query startup skips the
+    O(r*sigma) host rebuild (~17 s at 4.3 M runs) -- the analogue of the
+    reference shipping its packed rlbwt inside index.movi."""
+    np.savez(path, records=np.asarray(fi.records),
+             meta=np.array([fi.r, fi.sigma, fi.start_idx,
+                            fi.start_offset], dtype=np.int64),
+             alphamap_query=fi.alphamap_query)
+
+
+def load_fused_index(path: str) -> FusedIndex:
+    z = np.load(path)
+    r, sigma, start_idx, start_offset = (int(x) for x in z["meta"])
+    return FusedIndex(r=r, sigma=sigma,
+                      records=jnp.asarray(z["records"]),
+                      start_idx=start_idx, start_offset=start_offset,
+                      alphamap_query=z["alphamap_query"])
+
+
 def fused_pml_step(records: jax.Array, slots: int, state, a_eff):
     """One PML base step: single gather + VPU math."""
     idx, offset, ml = state

@@ -41,14 +41,19 @@ class BPFWriter:
         """Per-read record: u16 namelen, name, u64 count, values[]
         (utils.cpp:212-246).  Values are stored in processing order
         (right-to-left), like MoveQuery::matching_lens."""
+        import numpy as np
+
         nb = name.encode()
         self.f.write(struct.pack("<H", len(nb)))
         self.f.write(nb)
         self.f.write(struct.pack("<Q", len(values)))
-        fmt = {16: "H", 32: "I", 64: "Q"}[self.entry_size]
-        clip = (1 << self.entry_size) - 1
-        self.f.write(struct.pack(f"<{len(values)}{fmt}",
-                                 *[min(int(v), clip) for v in values]))
+        dt = {16: "<u2", 32: "<u4", 64: "<u8"}[self.entry_size]
+        if self.entry_size == 64:
+            arr = np.asarray(values, dtype=np.uint64)
+        else:
+            clip = (1 << self.entry_size) - 1
+            arr = np.minimum(np.asarray(values, dtype=np.int64), clip)
+        self.f.write(arr.astype(dt).tobytes())
 
     def close(self):
         self.f.close()

@@ -217,7 +217,28 @@ def _fused_pml_scan(fi: FusedIndex, alphas_t: jax.Array):
     return ml
 
 
+@jax.jit
+def _fused_pml_scan_carry(fi: FusedIndex, alphas_t: jax.Array, state):
+    """Chunk of the PML scan with an explicit carried state, for long
+    reads (nanopore, up to ~1 Mb): the per-read LF chain is inherently
+    serial, so long sequences are handled by chunking the scan with
+    carried (idx, offset, match_len) -- SURVEY.md section 5 -- instead of
+    compiling one scan per (huge) read-length bucket."""
+    slots = fi.sigma + 1
+    alphas_t = alphas_t.astype(jnp.int32)
+
+    def step(st, a):
+        return fused_pml_step(fi.records, slots, st, a)
+
+    state, ml = jax.lax.scan(step, state, alphas_t)
+    return state, ml
+
+
 class FusedPMLEngine:
+    # reads longer than this scan in fixed-size carried chunks (one
+    # compile total instead of one per width bucket)
+    CHUNK = 2048
+
     def __init__(self, fi: FusedIndex):
         self.fi = fi
 
@@ -226,7 +247,27 @@ class FusedPMLEngine:
         alphas = self.fi.alphamap_query[seqs_rev]  # [lanes, W]
         # ship as uint8 (slot values <= sigma); widened on device
         alphas_t = jnp.asarray(np.ascontiguousarray(alphas.T).astype(np.uint8))
-        return _fused_pml_scan(self.fi, alphas_t)
+        W, lanes = alphas_t.shape
+        if W <= self.CHUNK:
+            return _fused_pml_scan(self.fi, alphas_t)
+        fi = self.fi
+        C = self.CHUNK
+        pad = (-W) % C
+        if pad:
+            # pad the scan TAIL with the illegal slot: reads are
+            # right-aligned so columns beyond W - 1 are past every
+            # read's end and their emissions are discarded
+            alphas_t = jnp.concatenate(
+                [alphas_t, jnp.full((pad, lanes), fi.sigma, jnp.uint8)])
+        state = (jnp.full((lanes,), fi.start_idx, jnp.int32),
+                 jnp.full((lanes,), fi.start_offset, jnp.int32),
+                 jnp.zeros((lanes,), jnp.int32))
+        mls = []
+        for c0 in range(0, W + pad, C):
+            state, ml = _fused_pml_scan_carry(
+                self.fi, jax.lax.slice_in_dim(alphas_t, c0, c0 + C), state)
+            mls.append(ml)
+        return jnp.concatenate(mls)[:W]
 
     def query_batch(self, batch: ReadBatch) -> List[List[int]]:
         ml = np.asarray(self.query_batch_device(batch))

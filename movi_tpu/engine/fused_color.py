@@ -137,29 +137,53 @@ def fused_color_step(records8, slots, state, a_eff):
 
 
 @jax.jit
-def _fused_color_scan(ci: FusedColorIndex, alphas_t: jax.Array):
-    """Returns (ml, color) both [W, lanes]; color = doc_set_inds of the
-    post-LF run (clamped to C for compressed-away sets)."""
+def _fused_color_scan_carry(ci: FusedColorIndex, alphas_t: jax.Array,
+                            state):
+    """One chunk of the color scan with carried (idx, offset, ml) --
+    the long-read path (see engine/fused.py _fused_pml_scan_carry)."""
     fi = ci.fi
-    lanes = alphas_t.shape[1]
     slots = fi.sigma + 1
-    # widen uint8 xs once on device (see _fused_pml_scan)
     alphas_t = alphas_t.astype(jnp.int32)
-    idx0 = jnp.full((lanes,), fi.start_idx, dtype=jnp.int32)
-    off0 = jnp.full((lanes,), fi.start_offset, dtype=jnp.int32)
-    ml0 = jnp.zeros((lanes,), dtype=jnp.int32)
 
     if ci.records8 is not None:
-        def step(state, a):
-            return fused_color_step(ci.records8, slots, state, a)
+        def step(st, a):
+            return fused_color_step(ci.records8, slots, st, a)
     else:
-        def step(state, a):
-            new_state, ml = fused_pml_step(fi.records, slots, state, a)
+        def step(st, a):
+            new_state, ml = fused_pml_step(fi.records, slots, st, a)
             cid = jnp.take(ci.doc_set_inds, new_state[0], axis=0)
             return new_state, (ml, cid)
 
-    _, (ml, color) = jax.lax.scan(step, (idx0, off0, ml0), alphas_t)
-    return ml, color
+    state, (ml, color) = jax.lax.scan(step, state, alphas_t)
+    return state, ml, color
+
+
+CHUNK = 2048
+
+
+def _fused_color_scan(ci: FusedColorIndex, alphas_t: jax.Array):
+    """Returns (ml, color) both [W, lanes]; color = doc_set_inds of the
+    post-LF run (clamped to C for compressed-away sets).  Long batches
+    scan in fixed carried chunks (one compile regardless of W)."""
+    fi = ci.fi
+    W, lanes = alphas_t.shape
+    state = (jnp.full((lanes,), fi.start_idx, dtype=jnp.int32),
+             jnp.full((lanes,), fi.start_offset, dtype=jnp.int32),
+             jnp.zeros((lanes,), dtype=jnp.int32))
+    if W <= CHUNK:
+        _, ml, color = _fused_color_scan_carry(ci, alphas_t, state)
+        return ml, color
+    pad = (-W) % CHUNK
+    if pad:
+        alphas_t = jnp.concatenate(
+            [alphas_t, jnp.full((pad, lanes), fi.sigma, alphas_t.dtype)])
+    mls, colors = [], []
+    for c0 in range(0, W + pad, CHUNK):
+        state, ml, color = _fused_color_scan_carry(
+            ci, jax.lax.slice_in_dim(alphas_t, c0, c0 + CHUNK), state)
+        mls.append(ml)
+        colors.append(color)
+    return jnp.concatenate(mls)[:W], jnp.concatenate(colors)[:W]
 
 
 class FusedColorEngine:

@@ -145,20 +145,7 @@ def _init_interval(si: FusedSearchIndex, a):
             jnp.take(si.last_offsets, a1, axis=0))
 
 
-@jax.jit
-def fused_count_scan(si: FusedSearchIndex, alphas_t: jax.Array):
-    """Count query (query_backward_search).  alphas_t: [W, lanes],
-    -1 = illegal, -2 = beyond read.  Returns (matched, count).
-    int8 xs are widened once on device (per-step slicing of sub-int32
-    xs is ~3x slower; see engine/fused.py)."""
-    alphas_t = alphas_t.astype(jnp.int32)
-    a0 = alphas_t[0]
-    legal0 = a0 >= 0
-    rs, os_, re, oe = _init_interval(si, a0)
-    state = dict(rs=rs, os=os_, re=re, oe=oe, done=~legal0,
-                 matched=jnp.where(legal0, 1, 0).astype(jnp.int32),
-                 prs=rs, pos_=os_, pre=re, poe=oe)
-
+def _count_body(si: FusedSearchIndex):
     def body(state, a):
         alive = ~state["done"]
         nrs, nos, nre, noe, empty = fused_bs_step(
@@ -172,8 +159,41 @@ def fused_count_scan(si: FusedSearchIndex, alphas_t: jax.Array):
         new["matched"] = state["matched"] + ok.astype(jnp.int32)
         new["done"] = state["done"] | (alive & empty)
         return new, None
+    return body
 
-    state, _ = jax.lax.scan(body, state, alphas_t[1:])
+
+@jax.jit
+def _count_init(si: FusedSearchIndex, a0):
+    a0 = a0.astype(jnp.int32)
+    legal0 = a0 >= 0
+    rs, os_, re, oe = _init_interval(si, a0)
+    return dict(rs=rs, os=os_, re=re, oe=oe, done=~legal0,
+                matched=jnp.where(legal0, 1, 0).astype(jnp.int32),
+                prs=rs, pos_=os_, pre=re, poe=oe)
+
+
+@jax.jit
+def _count_carry(si: FusedSearchIndex, alphas_t: jax.Array, state):
+    state, _ = jax.lax.scan(_count_body(si), state,
+                            alphas_t.astype(jnp.int32))
+    return state
+
+
+SCAN_CHUNK = 2048
+
+
+def fused_count_scan(si: FusedSearchIndex, alphas_t: jax.Array):
+    """Count query (query_backward_search).  alphas_t: [W, lanes],
+    -1 = illegal, -2 = beyond read.  Returns (matched, count).
+    int8 xs are widened once on device (per-step slicing of sub-int32
+    xs is ~3x slower; see engine/fused.py); widths beyond SCAN_CHUNK
+    scan in carried chunks (long-read path)."""
+    W = alphas_t.shape[0]
+    state = _count_init(si, alphas_t[0])
+    for c0 in range(1, W, SCAN_CHUNK):
+        state = _count_carry(
+            si, jax.lax.slice_in_dim(alphas_t, c0,
+                                     min(c0 + SCAN_CHUNK, W)), state)
     abs_s = jnp.take(si.all_p, state["prs"], axis=0) + state["pos_"]
     abs_e = jnp.take(si.all_p, state["pre"], axis=0) + state["poe"]
     started = state["matched"] > 0
@@ -181,16 +201,16 @@ def fused_count_scan(si: FusedSearchIndex, alphas_t: jax.Array):
 
 
 @jax.jit
-def fused_zml_scan(si: FusedSearchIndex, alphas_t: jax.Array):
-    """ZML (query_zml recurrence, see engine/search.py)."""
-    alphas_t = alphas_t.astype(jnp.int32)
-    W, lanes = alphas_t.shape
-    a0 = alphas_t[0]
+def _zml_init(si: FusedSearchIndex, a0):
+    a0 = a0.astype(jnp.int32)
     legal0 = a0 >= 0
     rs, os_, re, oe = _init_interval(si, a0)
-    state = dict(rs=rs, os=os_, re=re, oe=oe, have=legal0,
-                 ml=jnp.zeros((lanes,), jnp.int32))
+    return dict(rs=rs, os=os_, re=re, oe=oe, have=legal0,
+                ml=jnp.zeros(a0.shape, jnp.int32))
 
+
+@jax.jit
+def _zml_carry(si: FusedSearchIndex, alphas_t: jax.Array, state):
     def body(state, a_next):
         emit = jnp.where(state["have"], state["ml"], 0)
         nrs, nos, nre, noe, empty = fused_bs_step(
@@ -208,9 +228,22 @@ def fused_zml_scan(si: FusedSearchIndex, alphas_t: jax.Array):
         )
         return new, emit
 
-    state, emits = jax.lax.scan(body, state, alphas_t[1:])
+    return jax.lax.scan(body, state, alphas_t.astype(jnp.int32))
+
+
+def fused_zml_scan(si: FusedSearchIndex, alphas_t: jax.Array):
+    """ZML (query_zml recurrence, see engine/search.py); widths beyond
+    SCAN_CHUNK scan in carried chunks (long-read path)."""
+    W = alphas_t.shape[0]
+    state = _zml_init(si, alphas_t[0])
+    emit_chunks = []
+    for c0 in range(1, W, SCAN_CHUNK):
+        state, emits = _zml_carry(
+            si, jax.lax.slice_in_dim(alphas_t, c0,
+                                     min(c0 + SCAN_CHUNK, W)), state)
+        emit_chunks.append(emits)
     last = jnp.where(state["have"], state["ml"], 0)
-    return jnp.concatenate([emits, last[None, :]], axis=0)
+    return jnp.concatenate(emit_chunks + [last[None, :]], axis=0)
 
 
 class FusedCountEngine:

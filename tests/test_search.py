@@ -82,3 +82,52 @@ def test_count_exact_substring(setup):
         pos, cnt = got[i]
         assert pos == 0, name
         assert cnt == _overlapping_count(hay + b"\x00", seq), name
+
+
+def test_long_read_chunked_search_scans():
+    """Count/ZML/color scans on reads longer than the scan chunk stay
+    bit-exact vs the scalar engine (carried-chunk long-read path)."""
+    import numpy as np
+
+    from movi_tpu.build.suffix import build_bwt_runs
+    from movi_tpu.color import ColorEngine, DocumentInfo, build_color_table
+    from movi_tpu.cpu_ref.scalar import ScalarEngine
+    from movi_tpu.engine.fused_color import (FusedColorEngine,
+                                             build_fused_color_index)
+    from movi_tpu.engine.fused_search import (FusedCountEngine,
+                                              FusedZMLEngine,
+                                              build_fused_search_index)
+    from movi_tpu.index.structure import build_move_index
+    from movi_tpu.io.fastx import make_batches
+
+    rng = np.random.default_rng(29)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    text = rng.choice(bases, size=30000)
+    runs = build_bwt_runs(text)
+    ix = build_move_index(runs, "regular-thresholds", bound_ff=1)
+    scalar = ScalarEngine(ix)
+    si = build_fused_search_index(ix)
+    di = DocumentInfo.create([15000, 30000])
+    ct = build_color_table(ix, runs.sa, di)
+    ci = build_fused_color_index(ix, ct)
+
+    reads = []
+    for i in range(3):
+        L = int(rng.integers(4000, 7000))
+        s = int(rng.integers(0, len(text) - L))
+        seq = text[s : s + L].copy()
+        seq = np.where(rng.random(L) < 0.05, rng.choice(bases, size=L), seq)
+        reads.append((f"long{i}", seq.tobytes()))
+
+    ce, ze = FusedCountEngine(si), FusedZMLEngine(si)
+    fc = FusedColorEngine(ci, ct)
+    sc = ColorEngine(ix, ct)
+    for b in make_batches(reads, lanes=3):
+        counts = ce.query_batch(b)
+        zmls = ze.query_batch(b)
+        colors = fc.query_batch(b)
+        for i, (nm, seq) in enumerate(zip(b.names, (s for _, s in reads))):
+            assert counts[i] == scalar.query_count(seq), nm
+            assert zmls[i] == scalar.query_zml(seq), nm
+            pmls, cell = sc.query_pml_multiclass(seq)
+            assert colors[i][0] == pmls and colors[i][1] == cell, nm

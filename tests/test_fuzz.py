@@ -81,3 +81,61 @@ def test_fuzz_jax_engines_many_seeds():
             want = sc.query_pml(seq)
             assert got_f[i] == want, (seed, name)
             assert got_c[i] == want, (seed, name)
+
+
+def test_fuzz_advanced_device_engines():
+    """Random-seed fuzz of the MEM / k-mer-count / color device engines
+    against their scalar oracles (multiple texts and read shapes)."""
+    from movi_tpu.color import ColorEngine, DocumentInfo, build_color_table
+    from movi_tpu.cpu_ref.advanced import AdvancedEngine
+    from movi_tpu.engine.fused_color import (FusedColorEngine,
+                                             build_fused_color_index)
+    from movi_tpu.engine.fused_kmer import FusedKmerCountEngine
+    from movi_tpu.engine.fused_mem import (FusedAllMemEngine,
+                                           FusedMemEngine,
+                                           build_fused_mem_index)
+    from movi_tpu.engine.fused_search import build_fused_search_index
+
+    comp = {65: 84, 84: 65, 67: 71, 71: 67}
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    for seed in range(3):
+        rng = np.random.default_rng(2000 + seed)
+        fw = rng.choice(bases, size=2500)
+        rc = np.array([comp[b] for b in fw[::-1]], dtype=np.uint8)
+        text = np.concatenate([fw, rc])
+        runs = build_bwt_runs(text)
+        ix = build_move_index(runs, "regular-thresholds", bound_ff=1)
+        adv = AdvancedEngine(ix, ftab_k=0)
+        mi = build_fused_mem_index(ix)
+        si = build_fused_search_index(ix)
+        di = DocumentInfo.create([2500, 5000])
+        ct = build_color_table(ix, runs.sa, di)
+        ci = build_fused_color_index(ix, ct)
+        sc = ColorEngine(ix, ct)
+
+        reads = []
+        for i in range(12):
+            L = int(rng.integers(15, 70))
+            s = int(rng.integers(0, len(fw) - L))
+            seq = fw[s : s + L].copy()
+            seq = np.where(rng.random(L) < 0.08,
+                           rng.choice(bases, size=L), seq)
+            if i % 4 == 0:
+                seq[rng.integers(0, L, size=2)] = ord("N")
+            reads.append((f"f{i}", seq.tobytes()))
+
+        for b in make_batches(reads, lanes=len(reads)):
+            L_mem = int(rng.integers(2, 8))
+            mems = FusedMemEngine(mi, L_mem).query_batch(b)
+            allm = FusedAllMemEngine(mi).query_batch(b)
+            k = int(rng.integers(4, 14))
+            kc = FusedKmerCountEngine(si, k).query_batch(b)
+            col = FusedColorEngine(ci, ct).query_batch(b)
+            for i, nm in enumerate(b.names):
+                seq = dict(reads)[nm]
+                assert mems[i] == adv.query_mems(seq, L_mem), (seed, nm)
+                assert allm[i] == adv.query_all_mems(seq), (seed, nm)
+                assert kc[i] == adv.count_kmers_bidirectional(seq, k), \
+                    (seed, nm, k)
+                pmls, cell = sc.query_pml_multiclass(seq)
+                assert col[i][0] == pmls and col[i][1] == cell, (seed, nm)

@@ -46,6 +46,9 @@ class FusedSearchIndex:
     # fetches issue as ONE gather of 2*lanes indices -- two dependent
     # gathers serialize on the scalar core and cost ~2x (measured).
     rec_all: jax.Array    # int32 [2*r*sigma, 4]
+    # init_rec[a+1] = (first_run, first_offset, last_run, last_offset):
+    # the four initialize_backward_search lookups as one gather
+    init_rec: jax.Array   # int32 [sigma+2, 4]
     first_runs: jax.Array
     first_offsets: jax.Array
     last_runs: jax.Array
@@ -56,7 +59,7 @@ class FusedSearchIndex:
 
 jax.tree_util.register_dataclass(
     FusedSearchIndex,
-    data_fields=["rec_all", "first_runs", "first_offsets",
+    data_fields=["rec_all", "init_rec", "first_runs", "first_offsets",
                  "last_runs", "last_offsets", "all_p", "alphamap_query"],
     meta_fields=["r", "sigma"],
 )
@@ -94,9 +97,13 @@ def build_fused_search_index(ix: MoveIndex) -> FusedSearchIndex:
     if ix.separators:
         alphamap_query[SEPARATOR] = -1
 
+    init_rec = np.stack([ix.first_runs, ix.first_offsets,
+                         ix.last_runs, ix.last_offsets],
+                        axis=1).astype(np.int32)
     return FusedSearchIndex(
         r=r, sigma=sigma,
         rec_all=jnp.asarray(np.concatenate([records(nds), records(nus)])),
+        init_rec=jnp.asarray(init_rec),
         first_runs=jnp.asarray(ix.first_runs.astype(np.int32)),
         first_offsets=jnp.asarray(ix.first_offsets.astype(np.int32)),
         last_runs=jnp.asarray(ix.last_runs.astype(np.int32)),
@@ -138,6 +145,16 @@ def fused_bs_step(si: FusedSearchIndex, rs, os_, re, oe, a):
 
 
 def _init_interval(si: FusedSearchIndex, a):
+    """initialize_backward_search as ONE gather of the packed
+    (first_run, first_offset, last_run, last_offset) record.  Best for
+    the tick machines (kmer/MEM) where init competes with record
+    gathers; the per-step ZML path uses the 4-small-takes variant
+    (XLA lowers takes from tiny constant tables more cheaply there)."""
+    rec = jnp.take(si.init_rec, jnp.maximum(a, 0) + 1, axis=0)
+    return rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]
+
+
+def _init_interval_small(si: FusedSearchIndex, a):
     a1 = jnp.maximum(a, 0) + 1
     return (jnp.take(si.first_runs, a1, axis=0),
             jnp.take(si.first_offsets, a1, axis=0),
@@ -216,7 +233,7 @@ def _zml_carry(si: FusedSearchIndex, alphas_t: jax.Array, state):
         nrs, nos, nre, noe, empty = fused_bs_step(
             si, state["rs"], state["os"], state["re"], state["oe"], a_next)
         ext_ok = state["have"] & ~empty
-        irs, ios, ire, ioe = _init_interval(si, a_next)
+        irs, ios, ire, ioe = _init_interval_small(si, a_next)
         legal = a_next >= 0
         new = dict(
             rs=jnp.where(ext_ok, nrs, irs),

@@ -75,8 +75,10 @@ def cmd_build(args):
     if args.movi_format:
         from .index.movi_format import write_movi
 
+        header = ("legacy" if args.legacy_header
+                  else "none" if args.no_header else "modern")
         write_movi(ix, os.path.join(args.index, "index.movi"),
-                   tally_checkpoints=args.checkpoint)
+                   tally_checkpoints=args.checkpoint, header=header)
         _log("wrote reference-format index.movi")
 
     eng = ScalarEngine(ix)
@@ -933,6 +935,10 @@ def main(argv=None):
                         "instead of a FASTA (movi build --preprocessed)")
     b.add_argument("--mmap", action="store_true",
                    help="also write a demand-pageable index.mmap/ layout")
+    b.add_argument("--legacy-header", action="store_true",
+                   help="write a v1-style single-byte index header")
+    b.add_argument("--no-header", action="store_true",
+                   help="write the index without any header")
     b.add_argument("--fused-cache", action="store_true",
                    help="precompute and store the fused step records "
                         "(skips the per-process rebuild at query time)")

@@ -305,10 +305,19 @@ def _sep_thresholds_bytes(ix: MoveIndex) -> bytes:
 
 
 def write_movi(ix: MoveIndex, path: str,
-               tally_checkpoints: int = TALLY_CHECKPOINTS):
+               tally_checkpoints: int = TALLY_CHECKPOINTS,
+               header: str = "modern"):
+    """header: "modern" (MoviHeader, default), "legacy" (single mode
+    byte + length/r/end_bwt_idx), or "none" (raw characteristics only)
+    -- write_index_header, move_structure_io.cpp:42-63."""
     mode_num, _, use_thr, split_thr = MODE_INFO[ix.mode]
     with open(path, "wb") as f:
-        f.write(_header_bytes(mode_num, ix))
+        if header == "modern":
+            f.write(_header_bytes(mode_num, ix))
+        else:
+            if header == "legacy":
+                f.write(struct.pack("<b", mode_num))
+            f.write(struct.pack("<QQQ", ix.length, ix.r, ix.end_bwt_idx))
         f.write(_basic_bytes(ix, nt_splitting=1 if mode_num in (1, 4) else 0,
                              constant=1 if mode_num == 1 else 0))
         if mode_num in (0, 1, 4):
@@ -363,17 +372,34 @@ def write_movi_colored(ix: MoveIndex, doc_set_inds: np.ndarray, path: str,
 
 
 # ---------------------------------------------------------------------------
-def read_movi_header(path: str):
-    """Read the header of a reference index.movi file."""
+def read_movi_header(path: str, mode_hint: int = -1):
+    """Read the header of a reference index.movi file.  Detects the
+    modern MoviHeader by magic; otherwise falls back to the legacy
+    single-byte-mode layout, or the headerless layout when `mode_hint`
+    is given (read_index_header, move_structure_io.cpp:66-109)."""
     with open(path, "rb") as f:
         hdr = f.read(48)
-    magic, major, minor, patch, mode_num = struct.unpack("<IBBBBxxxxxxxx",
-                                                         hdr[:16])
-    length, r, original_r, end_bwt_idx = struct.unpack("<QQQQ", hdr[16:48])
-    assert magic == MOVI_MAGIC, "not a Movi index"
-    return dict(mode_num=mode_num, version=(major, minor, patch),
-                length=length, r=r, original_r=original_r,
-                end_bwt_idx=end_bwt_idx)
+    magic = struct.unpack("<I", hdr[:4])[0]
+    if magic == MOVI_MAGIC:
+        _, major, minor, patch, mode_num = struct.unpack(
+            "<IBBBBxxxxxxxx", hdr[:16])
+        length, r, original_r, end_bwt_idx = struct.unpack(
+            "<QQQQ", hdr[16:48])
+        return dict(mode_num=mode_num, version=(major, minor, patch),
+                    length=length, r=r, original_r=original_r,
+                    end_bwt_idx=end_bwt_idx, header_size=48)
+    mode_b = hdr[0]
+    if mode_hint < 0 and 0 <= mode_b <= 8:
+        length, r, end_bwt_idx = struct.unpack("<QQQ", hdr[1:25])
+        if end_bwt_idx < length and r <= length:
+            return dict(mode_num=int(mode_b), version=(1, 0, 0),
+                        length=length, r=r, original_r=0,
+                        end_bwt_idx=end_bwt_idx, header_size=25)
+    assert mode_hint >= 0, "not a Movi index (pass mode_hint for "         "headerless legacy files)"
+    length, r, end_bwt_idx = struct.unpack("<QQQ", hdr[:24])
+    return dict(mode_num=mode_hint, version=(1, 0, 0), length=length,
+                r=r, original_r=0, end_bwt_idx=end_bwt_idx,
+                header_size=24)
 
 
 def _reconstruct_ids(n_arr: np.ndarray, c_arr: np.ndarray,
@@ -408,19 +434,18 @@ def _reconstruct_ids(n_arr: np.ndarray, c_arr: np.ndarray,
     return id_arr.astype(np.int64), offset_arr
 
 
-def read_movi(path: str) -> MoveIndex:
-    """Deserialize a reference index.movi into a MoveIndex (SoA):
-    regular(-thresholds), large, blocked(-thresholds), and
-    sampled(-thresholds) layouts.  Used for interop with reference-built
-    indexes."""
-    hdr = read_movi_header(path)
+def read_movi(path: str, mode_hint: int = -1) -> MoveIndex:
+    """Deserialize a reference index.movi into a MoveIndex (SoA): all 9
+    packed layouts, with modern/legacy/headerless headers.  Used for
+    interop with reference-built indexes."""
+    hdr = read_movi_header(path, mode_hint)
     mode_num = hdr["mode_num"]
     mode = {0: "large", 1: "constant", 2: "blocked", 3: "regular",
             4: "split", 5: "sampled", 6: "regular-thresholds",
             7: "sampled-thresholds", 8: "blocked-thresholds"}[mode_num]
     use_thr = mode_num in (0, 6, 7, 8)
     with open(path, "rb") as f:
-        f.seek(48)
+        f.seek(hdr["header_size"])
         end_thr = np.frombuffer(f.read(32), dtype="<u8")
         f.read(64)  # end next down/up
         (ams,) = struct.unpack("<Q", f.read(8))

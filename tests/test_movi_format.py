@@ -108,3 +108,25 @@ def test_movi_roundtrip_blocked_tally(bwt_runs, tmp_path, mode):
     assert np.array_equal(ix2.c_arr, ix.c_arr)
     if ix.thr is not None:
         assert np.array_equal(ix2.thr, ix.thr)
+
+
+def test_movi_legacy_and_headerless(bwt_runs, tmp_path):
+    """--legacy-header (single mode byte) and --no-header layouts
+    (write_index_header, move_structure_io.cpp:42-63) roundtrip."""
+    import numpy as np
+
+    from movi_tpu.index.movi_format import read_movi, write_movi
+    from movi_tpu.index.structure import build_move_index
+
+    ix = build_move_index(bwt_runs, "regular-thresholds")
+    p1 = str(tmp_path / "legacy.movi")
+    write_movi(ix, p1, header="legacy")
+    ix1 = read_movi(p1)
+    assert np.array_equal(ix1.n_arr, ix.n_arr)
+    assert np.array_equal(ix1.id_arr, ix.id_arr)
+
+    p2 = str(tmp_path / "nohdr.movi")
+    write_movi(ix, p2, header="none")
+    ix2 = read_movi(p2, mode_hint=6)
+    assert np.array_equal(ix2.n_arr, ix.n_arr)
+    assert np.array_equal(ix2.thr, ix.thr)

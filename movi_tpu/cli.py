@@ -3,13 +3,22 @@
 Mirrors the reference CLI surface (src/movi.cpp subcommand dispatch +
 src/movi_parser.cpp flags + src/movi_launcher.cpp build orchestration):
 
-  build    FASTA -> index directory (prepare-ref + SA/BWT/thresholds +
-           move table + null statistics), replacing the reference's
-           external pfp-thresholds/r-permute pipeline in-process
-  query    --pml/--zml/--count [--classify/--filter/--invert] [--stdout]
-  view     pretty-print a .bpf file
-  inspect  index statistics (print_stats, move_structure.cpp:471-501)
-  null     (re)generate null statistics
+  build        FASTA or preprocessed BWT -> index directory (prepare-ref
+               + SA/BWT/thresholds + move table + null statistics),
+               replacing the external pfp-thresholds/r-permute pipeline
+  query        --pml/--zml/--count/--mem/--kmer[-count] with
+               --classify/--filter/--multi-classify/--sa-entries/...
+               (device engines auto-selected, scalar fallbacks)
+  view         pretty-print a .bpf file (+ re-classification)
+  inspect      index statistics (print_stats, move_structure.cpp:471-501)
+  build-SA     (re)build the sampled suffix array (LF sweep)
+  ftab         (re)build k-mer lookup tables
+  color        (re)build Movi Color tables
+  color-move-rows  write a colored index.movi
+  rlbwt        preprocess a raw BWT into .heads/.len
+  prepare-ref  standalone FASTA cleaner
+  LF           LF micro-benchmarks
+  null         (re)generate null statistics / null reads
 """
 
 from __future__ import annotations
@@ -1093,6 +1102,8 @@ def main(argv=None):
 
     for sp in (b, q, v, ins, lf, nl, bsa, ft, co, rl, cmr, pr):
         sp.add_argument("--verbose", action="store_true",
+                        help=argparse.SUPPRESS)
+        sp.add_argument("--debug", "-d", action="store_true",
                         help=argparse.SUPPRESS)
         sp.add_argument("--validate-flags", action="store_true",
                         help="parse and validate the flags, then exit "

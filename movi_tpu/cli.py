@@ -473,8 +473,15 @@ def cmd_query(args):
         else:
             eng = AdvancedEngine(ix, ftab_k=0)
             if args.ftab_k > 1:
+                bin_path = os.path.join(args.index,
+                                        f"ftab.{args.ftab_k}.bin")
                 if os.path.exists(ftab_path):
                     eng.ftab = np.load(ftab_path)
+                    eng.ftab_k = args.ftab_k
+                elif os.path.exists(bin_path):
+                    from .index.movi_format import read_ftab_bin
+
+                    _, eng.ftab = read_ftab_bin(bin_path)
                     eng.ftab_k = args.ftab_k
                 else:
                     eng.build_ftab(args.ftab_k)
@@ -676,7 +683,11 @@ def cmd_build_sa(args):
     ix.sampled_SA = sa
     ix.sa_sample_rate = args.sample_rate
     ix.save(os.path.join(args.index, "index.npz"))
-    _log(f"sampled SA: {len(sa)} entries (rate {args.sample_rate})")
+    from .index.movi_format import write_ssa
+
+    write_ssa(ix, os.path.join(args.index, "ssa.movi"))
+    _log(f"sampled SA: {len(sa)} entries (rate {args.sample_rate}); "
+         "wrote ssa.movi")
 
 
 def cmd_ftab(args):
@@ -687,10 +698,14 @@ def cmd_ftab(args):
     ix = _load_index(args.index)
     ks = ([args.ftab_k] if not args.multi_ftab
           else [k for k in range(args.ftab_k, 1, -2)])
+    from .index.movi_format import write_ftab_bin
+
     for k in ks:
         eng = AdvancedEngine(ix, ftab_k=k)
         np.save(os.path.join(args.index, f"ftab.{k}.npy"), eng.ftab)
-        _log(f"ftab (k={k}) written")
+        write_ftab_bin(eng.ftab, k, os.path.join(args.index,
+                                                 f"ftab.{k}.bin"))
+        _log(f"ftab (k={k}) written (.npy + reference .bin)")
 
 
 def cmd_color(args):

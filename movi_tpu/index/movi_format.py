@@ -570,3 +570,50 @@ def read_movi(path: str, mode_hint: int = -1) -> MoveIndex:
         first_runs=first_runs, first_offsets=first_offsets,
         last_runs=last_runs, last_offsets=last_offsets,
     )
+
+
+# ---------------------------------------------------------------------------
+# Auxiliary reference-format artifacts
+
+
+def write_ssa(ix: MoveIndex, path: str):
+    """ssa.movi: sample rate, sampled SA entries, and all_p (one u64 per
+    run) -- serialize_sampled_SA (move_structure_io.cpp:710-723)."""
+    assert ix.sampled_SA is not None, "index has no sampled SA"
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", ix.sa_sample_rate))
+        f.write(struct.pack("<Q", len(ix.sampled_SA)))
+        f.write(ix.sampled_SA.astype("<u8").tobytes())
+        all_p = ix.all_p[:-1].astype("<u8")
+        f.write(struct.pack("<Q", len(all_p)))
+        f.write(all_p.tobytes())
+
+
+def read_ssa(path: str):
+    """Returns (sample_rate, sampled_SA) from a reference ssa.movi
+    (deserialize_sampled_SA, move_structure_io.cpp:725-744)."""
+    with open(path, "rb") as f:
+        (rate,) = struct.unpack("<Q", f.read(8))
+        (n,) = struct.unpack("<Q", f.read(8))
+        sampled = np.frombuffer(f.read(n * 8), dtype="<u8").astype(np.int64)
+    return int(rate), sampled
+
+
+def write_ftab_bin(ftab: np.ndarray, k: int, path: str):
+    """ftab.<k>.bin: k, 4^k, MoveInterval[4^k] (4 u64 each) --
+    write_ftab (move_structure_io.cpp:771-785)."""
+    size = 4 ** k
+    assert ftab.shape == (size, 4), f"ftab shape {ftab.shape} != ({size}, 4)"
+    with open(path, "wb") as f:
+        f.write(struct.pack("<QQ", k, size))
+        f.write(ftab.astype("<u8").tobytes())
+
+
+def read_ftab_bin(path: str):
+    """Returns (k, ftab int64[4^k, 4]) from a reference ftab.<k>.bin
+    (read_ftab, move_structure_io.cpp:787-832)."""
+    with open(path, "rb") as f:
+        k, size = struct.unpack("<QQ", f.read(16))
+        ftab = np.frombuffer(f.read(size * 32),
+                             dtype="<u8").astype(np.int64).reshape(size, 4)
+    return int(k), ftab

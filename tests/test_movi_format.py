@@ -130,3 +130,32 @@ def test_movi_legacy_and_headerless(bwt_runs, tmp_path):
     ix2 = read_movi(p2, mode_hint=6)
     assert np.array_equal(ix2.n_arr, ix.n_arr)
     assert np.array_equal(ix2.thr, ix.thr)
+
+
+def test_ssa_and_ftab_reference_formats(bwt_runs, tmp_path):
+    """ssa.movi (move_structure_io.cpp:710-744) and ftab.<k>.bin
+    (:771-832) reference binaries roundtrip."""
+    import numpy as np
+
+    from movi_tpu.cpu_ref.advanced import AdvancedEngine
+    from movi_tpu.index.movi_format import (read_ftab_bin, read_ssa,
+                                            write_ftab_bin, write_ssa)
+    from movi_tpu.index.structure import build_move_index
+
+    ix = build_move_index(bwt_runs, "regular-thresholds")
+    ix.sampled_SA = bwt_runs.sampled_sa(100)
+    ix.sa_sample_rate = 100
+    p = str(tmp_path / "ssa.movi")
+    write_ssa(ix, p)
+    rate, sampled = read_ssa(p)
+    assert rate == 100 and np.array_equal(sampled, ix.sampled_SA)
+    # header + entries + all_p, all u64
+    want_size = 8 + 8 + len(ix.sampled_SA) * 8 + 8 + ix.r * 8
+    assert os.path.getsize(p) == want_size
+
+    eng = AdvancedEngine(ix, ftab_k=5)
+    p2 = str(tmp_path / "ftab.5.bin")
+    write_ftab_bin(eng.ftab, 5, p2)
+    k, ftab = read_ftab_bin(p2)
+    assert k == 5 and np.array_equal(ftab, eng.ftab)
+    assert os.path.getsize(p2) == 16 + (4 ** 5) * 32

@@ -617,3 +617,64 @@ def read_ftab_bin(path: str):
         ftab = np.frombuffer(f.read(size * 32),
                              dtype="<u8").astype(np.int64).reshape(size, 4)
     return int(k), ftab
+
+
+def read_movi_colored(path: str):
+    """Deserialize an index_colored.movi (MoveRowColored 12 B rows,
+    move_row_colored.hpp; written by color-move-rows).  Returns
+    (MoveIndex, color_ids int64[r])."""
+    hdr = read_movi_header(path)
+    mode_num = hdr["mode_num"]
+    assert mode_num in (3, 6), "colored rows exist for regular modes only"
+    mode = {3: "regular", 6: "regular-thresholds"}[mode_num]
+    with open(path, "rb") as f:
+        f.seek(hdr["header_size"])
+        end_thr = np.frombuffer(f.read(32), dtype="<u8")
+        f.read(64)
+        (ams,) = struct.unpack("<Q", f.read(8))
+        alphamap = np.frombuffer(f.read(ams * 8), dtype="<u8").astype(np.int64)
+        (als,) = struct.unpack("<Q", f.read(8))
+        alphabet = np.frombuffer(f.read(als), dtype=np.uint8)
+        f.read(3)
+        r = hdr["r"]
+        rows = np.frombuffer(
+            f.read(r * 12),
+            dtype=[("id", "<u4"), ("color", "<u4"), ("n", "<u2"),
+                   ("off", "<u2")])
+        len_bits = 11 if mode_num == 6 else 12
+        mask = (1 << len_bits) - 1
+        n_arr = (rows["n"] & mask).astype(np.int32)
+        offset_arr = (rows["off"] & mask).astype(np.int32)
+        id_arr = rows["id"].astype(np.int64) | \
+            (((rows["off"].astype(np.int64) >> 12) & 0xF) << 32)
+        c_arr = ((rows["n"] >> 13) & 0x7).astype(np.uint8)
+        thr = None
+        if mode_num == 6:
+            n64 = n_arr.astype(np.int64)
+            b0 = ((rows["off"] >> 11) & 1).astype(np.int64)
+            b1 = ((rows["n"] >> 11) & 1).astype(np.int64)
+            b2 = ((rows["n"] >> 12) & 1).astype(np.int64)
+            thr = np.stack([b0 * n64, b1 * n64, b2 * n64],
+                           axis=1).astype(np.int32)
+        color = rows["color"].astype(np.int64)
+        f.read(24)
+        (cs,) = struct.unpack("<Q", f.read(8))
+        counts = np.frombuffer(f.read(cs * 8), dtype="<u8").astype(np.int64)
+        (ls,) = struct.unpack("<Q", f.read(8))
+        last_runs = np.frombuffer(f.read(ls * 8), dtype="<u8").astype(np.int64)
+        last_offsets = np.frombuffer(f.read(ls * 8), dtype="<u8").astype(np.int64)
+        first_runs = np.frombuffer(f.read(ls * 8), dtype="<u8").astype(np.int64)
+        first_offsets = np.frombuffer(f.read(ls * 8), dtype="<u8").astype(np.int64)
+
+    all_p = np.concatenate([[0], np.cumsum(n_arr.astype(np.int64))])
+    ix = MoveIndex(
+        mode=mode, length=hdr["length"], r=r,
+        original_r=hdr["original_r"], end_bwt_idx=hdr["end_bwt_idx"],
+        alphabet=alphabet, alphamap=alphamap, counts=counts,
+        n_arr=n_arr, offset_arr=offset_arr, id_arr=id_arr, c_arr=c_arr,
+        all_p=all_p, thr=thr,
+        end_bwt_idx_thresholds=end_thr.astype(np.int64),
+        first_runs=first_runs, first_offsets=first_offsets,
+        last_runs=last_runs, last_offsets=last_offsets,
+    )
+    return ix, color

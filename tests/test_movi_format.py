@@ -159,3 +159,24 @@ def test_ssa_and_ftab_reference_formats(bwt_runs, tmp_path):
     k, ftab = read_ftab_bin(p2)
     assert k == 5 and np.array_equal(ftab, eng.ftab)
     assert os.path.getsize(p2) == 16 + (4 ** 5) * 32
+
+
+def test_movi_colored_roundtrip(bwt_runs, tmp_path):
+    """write_movi_colored -> read_movi_colored (MoveRowColored 12 B,
+    move_row_colored.hpp)."""
+    import numpy as np
+
+    from movi_tpu.index.movi_format import (read_movi_colored,
+                                            write_movi_colored)
+    from movi_tpu.index.structure import build_move_index
+
+    ix = build_move_index(bwt_runs, "regular-thresholds")
+    rng = np.random.default_rng(0)
+    colors = rng.integers(0, 500, size=ix.r).astype(np.int64)
+    p = str(tmp_path / "index_colored.movi")
+    write_movi_colored(ix, colors, p)
+    ix2, col2 = read_movi_colored(p)
+    assert np.array_equal(col2, colors)
+    assert np.array_equal(ix2.n_arr, ix.n_arr)
+    assert np.array_equal(ix2.id_arr, ix.id_arr)
+    assert np.array_equal(ix2.thr, ix.thr)

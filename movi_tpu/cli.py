@@ -113,10 +113,30 @@ def cmd_build(args):
                 f.write(f"{off}\n")
 
     if args.color:
-        from .color import DocumentInfo, build_color_table, compress_color_table
+        from .color import (DocumentInfo, build_color_table,
+                            build_color_table_from_index,
+                            compress_color_table, load_document_info)
 
-        di = DocumentInfo.create(ref.doc_offsets)
-        ct = build_color_table(ix, runs.sa, di)
+        if ref is not None:
+            di = DocumentInfo.create(ref.doc_offsets)
+        else:
+            # preprocessed (--bwt-file) path: no reference text in hand, so
+            # document boundaries must come from an existing
+            # ref.fa.doc_offsets in the index dir (the reference reads the
+            # same file, move_structure_io.cpp:643-708)
+            try:
+                di = load_document_info(args.index)
+            except FileNotFoundError:
+                raise SystemExit(
+                    "build --bwt-file --color needs ref.fa.doc_offsets in "
+                    "the index directory (run prepare-ref first)")
+        if runs.sa is not None:
+            ct = build_color_table(ix, runs.sa, di)
+        else:
+            # no suffix array on the preprocessed path: derive doc_pats by
+            # the O(n) LF sweep, like build_doc_pats
+            # (move_structure_color.cpp:4-24)
+            ct = build_color_table_from_index(ix, di)
         if args.compress_colors:
             ct = compress_color_table(ct)
         if args.tree_compress_colors:
@@ -377,8 +397,8 @@ def cmd_query(args):
             lines = []
             for batch in _mb(reads, lanes=args.lanes):
                 out = eng.query_batch(batch)
-                for name, spans in zip(batch.names, out):
-                    L = len(dict(reads)[name])
+                for name, L, spans in zip(batch.names, batch.lengths, out):
+                    L = int(L)
                     found = sum(c for _, c in spans)
                     span_s = " ".join(f"{p}:{c}" for p, c in spans)
                     span_s += " " if spans else ""
@@ -448,9 +468,9 @@ def cmd_query(args):
             eng = FusedKmerCountEngine(build_fused_search_index(ix), args.k)
             lines = []
             for batch in _mb(reads, lanes=args.lanes):
-                for name, (found, total) in zip(batch.names,
-                                                eng.query_batch(batch)):
-                    L = len(dict(reads)[name])
+                for name, L, (found, total) in zip(batch.names, batch.lengths,
+                                                   eng.query_batch(batch)):
+                    L = int(L)
                     lines.append(f"{name}\t{found}/{L - args.k + 1}\t{total}")
             if args.stdout:
                 for ln in lines:

@@ -267,3 +267,73 @@ def test_native_fastx_reader(tmp_path):
                 assert a.names == b.names
                 assert np.array_equal(a.seqs, b.seqs), (p, rev)
                 assert np.array_equal(a.lengths, b.lengths)
+
+
+@requires_ref_data
+def test_kmer_duplicate_read_names(built_index, tmp_path):
+    """Reads with duplicate names must each report their OWN length;
+    the kmer denominator is L - k + 1 per read (sequitur.cpp output),
+    so a name collision that reused another read's length shows up here."""
+    with open(os.path.join(REF_DATA, "sample.fasta")) as f:
+        seq = f.read().splitlines()[1]
+    reads = str(tmp_path / "dups.fa")
+    with open(reads, "w") as f:
+        f.write(f">r1\n{seq}\n>r1\n{seq[:40]}\n")
+    r = _run(["query", "--index", built_index, "--read", reads,
+              "--kmer", "--k", "15", "--stdout"])
+    assert r.returncode == 0, r.stderr
+    out = [ln for ln in r.stdout.splitlines() if ln]
+    assert len(out) == 2
+    denoms = [ln.split("\t")[1].split("/")[1] for ln in out]
+    assert denoms[0] == str(len(seq) - 15 + 1)
+    assert denoms[1] == str(40 - 15 + 1)
+    # kmer-count path shares the same per-read length plumbing
+    r = _run(["query", "--index", built_index, "--read", reads,
+              "--kmer-count", "--k", "15", "--stdout"])
+    assert r.returncode == 0, r.stderr
+    out = [ln for ln in r.stdout.splitlines() if ln]
+    denoms = [ln.split("\t")[1].split("/")[1] for ln in out]
+    assert denoms[0] == str(len(seq) - 15 + 1)
+    assert denoms[1] == str(40 - 15 + 1)
+
+
+@requires_ref_data
+def test_bwt_file_build_color(tmp_path):
+    """build --bwt-file --color must work (no SA on that path: doc_pats
+    come from the LF sweep, move_structure_color.cpp:4-24) and match the
+    SA-derived color table from the FASTA path bit-exactly."""
+    from movi_tpu.build.prepare_ref import prepare_ref
+    from movi_tpu.build.suffix import build_bwt_runs
+    from movi_tpu.color import ColorTable
+
+    ref = prepare_ref(os.path.join(REF_DATA, "ref.fasta"))
+    runs = build_bwt_runs(ref.text)
+    bwt_path = str(tmp_path / "ref.bwt")
+    runs.bwt.tofile(bwt_path)
+    with open(str(tmp_path / "ref.thr_pos"), "wb") as f:
+        for t in runs.thresholds:
+            f.write(int(t).to_bytes(5, "little"))
+
+    idx = str(tmp_path / "idx")
+    # without doc_offsets the build must fail with a clear message
+    r = _run(["build", "--bwt-file", bwt_path, "--index", idx,
+              "--skip-null", "--color"])
+    assert r.returncode != 0
+    assert "doc_offsets" in (r.stderr + r.stdout)
+
+    os.makedirs(idx, exist_ok=True)
+    with open(os.path.join(idx, "ref.fa.doc_offsets"), "w") as f:
+        for off in ref.doc_offsets:
+            f.write(f"{off}\n")
+    r = _run(["build", "--bwt-file", bwt_path, "--index", idx,
+              "--skip-null", "--color"])
+    assert r.returncode == 0, r.stderr
+
+    idx_fa = str(tmp_path / "idx_fa")
+    r = _run(["build", "--fasta", os.path.join(REF_DATA, "ref.fasta"),
+              "--index", idx_fa, "--skip-null", "--color"])
+    assert r.returncode == 0, r.stderr
+    got = ColorTable.load(os.path.join(idx, "colors.npz"))
+    want = ColorTable.load(os.path.join(idx_fa, "colors.npz"))
+    assert np.array_equal(got.doc_pats, want.doc_pats)
+    assert np.array_equal(got.doc_set_inds, want.doc_set_inds)

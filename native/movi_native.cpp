@@ -378,6 +378,59 @@ int movi_fastx_parse(const char* path, uint8_t* seqs, int64_t* seq_offsets,
   return rc;
 }
 
+// Single-core scalar PML query loop: the reference's no-prefetch inner
+// loop (move_structure_query.cpp:234-361) over our SoA move table.  Used
+// by bench.py to MEASURE the CPU baseline that vs_baseline is computed
+// against, instead of assuming a literature constant.
+//
+//   n/off/id/c    : move rows (c = alphabet slot; the '$' run stores 0 and
+//                   matches alphabet[0], move_structure_query.cpp:277)
+//   thr_full      : [r, sigma] threshold per (run, read char slot)
+//   reads_alpha   : [num_reads * read_len] read chars already mapped to
+//                   alphabet slots, in right-to-left processing order
+// Returns the sum of all emitted PMLs (checksum; also defeats DCE).
+int64_t movi_scalar_pml(const int32_t* n, const int32_t* off,
+                        const int64_t* id, const uint8_t* c,
+                        const uint16_t* thr_full, int64_t r, int32_t sigma,
+                        const uint8_t* reads_alpha, int64_t num_reads,
+                        int64_t read_len) {
+  int64_t checksum = 0;
+  for (int64_t q = 0; q < num_reads; q++) {
+    const uint8_t* read = reads_alpha + q * read_len;
+    int64_t idx = r - 1;
+    int64_t offset = n[idx] - 1;
+    int64_t match_len = 0;
+    for (int64_t p = 0; p < read_len; p++) {
+      int32_t a = read[p];
+      if (a >= sigma) {
+        match_len = 0;  // illegal char: plain LF, no reposition
+      } else if (c[idx] == a) {
+        match_len++;
+      } else {
+        // reposition_thresholds (move_structure_query.cpp:513-601):
+        // offset >= threshold -> scan down, else scan up
+        if (offset >= thr_full[idx * sigma + a]) {
+          do { idx++; } while (c[idx] != a);
+          offset = 0;
+        } else {
+          do { idx--; } while (c[idx] != a);
+          offset = n[idx] - 1;
+        }
+        match_len = 0;
+      }
+      checksum += match_len;
+      // LF_move + fast_forward (move_structure.cpp:59-87)
+      offset += off[idx];
+      idx = id[idx];
+      while (idx < r - 1 && offset >= n[idx]) {
+        offset -= n[idx];
+        idx++;
+      }
+    }
+  }
+  return checksum;
+}
+
 // Right-aligned batch packing: out[nl, w] <- reads [start, start+nl) of
 // the flat (seqs, offsets, lengths) arrays, padded with 0xFF on the left
 // (optionally with each read reversed in place for --reverse).

@@ -73,7 +73,7 @@ def main():
             ml0 = jnp.zeros((LANES,), jnp.int32)
 
             def step(state, a):
-                return fused_pml_step(fi.records, slots, state, a)
+                return fused_pml_step(fi.records, slots, fi.p_dollar, state, a)
 
             # perturb the first char slot by k to defeat loop-invariant
             # hoisting across reps (k mod sigma stays a legal slot)

@@ -8,8 +8,8 @@ move_structure_query.cpp:373-470).
 TPU split of that work:
 
   device   the fused PML scan emits each base's color id alongside the
-           matching length.  The color ids of all four possible post-LF
-           destinations are embedded in a widened 8-int32 record, so the
+           matching length.  The color ids of both possible post-LF
+           destinations are embedded in a widened 3-int32 record, so the
            whole color step stays ONE gather per base (a dependent
            doc_set_inds[new_idx] gather would serialize and cost ~2x; a
            fallback path does exactly that when >2^16-2 unique sets).
@@ -43,7 +43,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .fused import FusedIndex, build_fused_index, fused_pml_step
+from .fused import (BIT_BUMP, BIT_DOLLAR_DN, BIT_DOLLAR_UP, BIT_USE_LF,
+                    FA_MASK, FB_MASK, FB_SHIFT, FusedIndex,
+                    build_fused_index, fused_pml_step, fused_step_math)
 from ..color import (ColorTable, format_multiclass_cell)
 from ..constants import UNCLASSIFIED_THRESHOLD
 from ..index.structure import MoveIndex
@@ -58,13 +60,13 @@ class FusedColorIndex:
     doc_set_inds: jax.Array     # int32 [r] (color id per run; >= C if
                                 # compressed away)
     num_colors: int             # C = number of kept unique sets
-    # 8-wide record (PML record + packed destination color ids); None
+    # 3-word record (PML record + packed destination color id pair); None
     # when C+1 exceeds 16 bits (falls back to a second gather)
-    records8: Optional[jax.Array] = None
+    records3: Optional[jax.Array] = None
 
 
 jax.tree_util.register_dataclass(
-    FusedColorIndex, data_fields=["fi", "doc_set_inds", "records8"],
+    FusedColorIndex, data_fields=["fi", "doc_set_inds", "records3"],
     meta_fields=["num_colors"])
 
 
@@ -75,65 +77,55 @@ def build_fused_color_index(ix: MoveIndex, ct: ColorTable,
         fi = build_fused_index(ix)
     C = len(ct.unique_doc_sets)
     cids = np.minimum(ct.doc_set_inds, C).astype(np.int64)
-    records8 = None
+    records3 = None
     if C + 1 <= 0xFFFF:
-        # widen the fused PML record with the color ids of all four
-        # possible post-LF destinations (id, id+1, up, dn), packed two
-        # per int32 -- the whole color step becomes ONE 32 B gather
-        # (a dependent second gather would serialize and cost ~2x)
+        # widen the fused PML record with the color ids of the two
+        # possible post-LF destinations of each slot -- (m, m+1) on the
+        # LF path, (up, dn) on the reposition path -- packed in one extra
+        # int32, so the whole color step stays ONE 12 B gather (a
+        # dependent doc_set_inds[new_idx] gather would serialize ~2x)
         rec = np.asarray(fi.records).astype(np.int64)
         r, slots = ix.r, ix.sigma + 1
-        rec = rec.reshape(r, slots, 6)
-        f1 = rec[:, :, 1]                      # LF destination base run
-        cid_id = cids[np.minimum(f1, r - 1)]
-        cid_id1 = cids[np.minimum(f1 + 1, r - 1)]
-        cid_up = cids[np.minimum(rec[:, :, 3], r - 1)]
-        cid_dn = cids[np.minimum(rec[:, :, 4], r - 1)]
-        f6 = cid_id | (cid_id1 << 16)
-        f7 = cid_up | (cid_dn << 16)
-        rec8 = np.concatenate(
-            [rec, f6[:, :, None], f7[:, :, None]], axis=2)
-        records8 = jnp.asarray(
-            rec8.reshape(r * slots, 8).astype(np.int32))
+        rec = rec.reshape(r, slots, 2)
+        w0, w1 = rec[:, :, 0], rec[:, :, 1]
+        use_lf = (w1 >> BIT_USE_LF) & 1
+        bump = (w1 >> BIT_BUMP) & 1
+        d_up = (w1 >> BIT_DOLLAR_UP) & 1
+        d_dn = (w1 >> BIT_DOLLAR_DN) & 1
+        pd_run = fi.p_dollar[0]
+        lo = np.where(use_lf == 1, w0, np.where(d_up == 1, pd_run, w0))
+        hi = np.where(use_lf == 1, w0 + 1,
+                      np.where(d_dn == 1, pd_run, w0 + bump))
+        # unreachable candidates (no-ff guard, threshold-blocked side)
+        # may be out of range; clip -- their cids are never selected
+        wc = (cids[np.clip(lo, 0, r - 1)]
+              | (cids[np.clip(hi, 0, r - 1)] << 16))
+        rec3 = np.concatenate([rec, wc[:, :, None]], axis=2)
+        records3 = jnp.asarray(
+            rec3.reshape(r * slots, 3).astype(np.int32))
     return FusedColorIndex(
         fi=fi,
         doc_set_inds=jnp.asarray(cids.astype(np.int32)),
-        records8=records8,
+        records3=records3,
         num_colors=C)
 
 
-def fused_color_step(records8, slots, state, a_eff):
+def fused_color_step(records3, slots, p_dollar, state, a_eff):
     """One PML base step + the post-LF run's color id, from a single
-    8-wide record gather (fused_pml_step math plus the cid selectors)."""
+    3-word record gather (fused_step_math plus the cid selector)."""
     idx, offset, ml = state
-    rec = jnp.take(records8, idx * slots + a_eff, axis=0)  # [lanes, 8]
-    f0 = rec[:, 0]
-    thr = f0 & 0xFFFF
-    is_match = (f0 >> 16) & 1
-    use_lf = (f0 >> 17) & 1
+    rec = jnp.take(records3, idx * slots + a_eff, axis=0)  # [lanes, 3]
+    new_state, new_ml = fused_step_math(rec, state, p_dollar)
 
-    f2 = rec[:, 2]
-    off0 = (f2 >> 16) + offset
-    cum1 = f2 & 0xFFFF
-    ff = (off0 >= cum1).astype(jnp.int32)
-    c1_run = rec[:, 1] + ff
-    c1_off = off0 - ff * cum1
-
-    down = offset >= thr
-    c2_run = jnp.where(down, rec[:, 4], rec[:, 3])
-    f5 = rec[:, 5]
-    c2_off = jnp.where(down, f5 >> 16, f5 & 0xFFFF)
-
-    lf_path = use_lf == 1
-    new_idx = jnp.where(lf_path, c1_run, c2_run)
-    new_off = jnp.where(lf_path, c1_off, c2_off)
-    new_ml = jnp.where(is_match == 1, ml + 1, 0)
-
-    f6, f7 = rec[:, 6], rec[:, 7]
-    cid_c1 = jnp.where(ff == 1, (f6 >> 16) & 0xFFFF, f6 & 0xFFFF)
-    cid_c2 = jnp.where(down, (f7 >> 16) & 0xFFFF, f7 & 0xFFFF)
-    cid = jnp.where(lf_path, cid_c1, cid_c2)
-    return (new_idx, new_off, new_ml), (new_ml, cid)
+    # destination selector: high half on LF fast-forward or reposition-down
+    w1 = rec[:, 1]
+    fa = w1 & FA_MASK
+    fb = (w1 >> FB_SHIFT) & FB_MASK
+    use_lf = (w1 >> BIT_USE_LF) & 1
+    hi = jnp.where(use_lf == 1, fa + offset >= fb, offset >= fb)
+    wc = rec[:, 2]
+    cid = jnp.where(hi, (wc >> 16) & 0xFFFF, wc & 0xFFFF)
+    return new_state, (new_ml, cid)
 
 
 @jax.jit
@@ -145,12 +137,13 @@ def _fused_color_scan_carry(ci: FusedColorIndex, alphas_t: jax.Array,
     slots = fi.sigma + 1
     alphas_t = alphas_t.astype(jnp.int32)
 
-    if ci.records8 is not None:
+    if ci.records3 is not None:
         def step(st, a):
-            return fused_color_step(ci.records8, slots, st, a)
+            return fused_color_step(ci.records3, slots, fi.p_dollar, st, a)
     else:
         def step(st, a):
-            new_state, ml = fused_pml_step(fi.records, slots, st, a)
+            new_state, ml = fused_pml_step(fi.records, slots, fi.p_dollar,
+                                           st, a)
             cid = jnp.take(ci.doc_set_inds, new_state[0], axis=0)
             return new_state, (ml, cid)
 

@@ -30,7 +30,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .fused import FusedIndex, fused_pml_step
+from .fused import (BIT_USE_LF, FB_MASK, FB_SHIFT, FusedIndex,
+                    fused_lf_math, fused_step_math)
 from ..io.fastx import ReadBatch
 
 
@@ -95,9 +96,9 @@ def _pml_pre_state_scan(sx: FusedSAIndex, alphas_t: jax.Array):
         idx, offset, _ = state
         rec_key = idx * slots + a
         rec = jnp.take(fi.records, rec_key, axis=0)
-        f0 = rec[:, 0]
-        thr = f0 & 0xFFFF
-        use_lf = (f0 >> 17) & 1
+        w1 = rec[:, 1]
+        thr = (w1 >> FB_SHIFT) & FB_MASK  # = fb on the mismatch path
+        use_lf = (w1 >> BIT_USE_LF) & 1
         # pre-LF state: the carry itself on the match/illegal path, the
         # reposition target otherwise (offset n-1 going up, 0 going down)
         pt = jnp.take(sx.pre_tab, rec_key, axis=0)
@@ -107,7 +108,7 @@ def _pml_pre_state_scan(sx: FusedSAIndex, alphas_t: jax.Array):
         lf_path = use_lf == 1
         pre_idx = jnp.where(lf_path, idx, rep_idx)
         pre_off = jnp.where(lf_path, offset, rep_off)
-        new_state, ml = fused_pml_step(fi.records, slots, state, a)
+        new_state, ml = fused_step_math(rec, state, fi.p_dollar)
         return new_state, (ml, pre_idx, pre_off)
 
     _, ys = jax.lax.scan(step, (idx0, off0, ml0), alphas_t)
@@ -138,12 +139,7 @@ def _sa_walk(sx: FusedSAIndex, idx: jax.Array, off: jax.Array):
         active = abs_pos % rate != 0
         # plain LF + bounded ff via the illegal-char record slot
         rec = jnp.take(fi.records, idx * slots + sigma, axis=0)
-        f2 = rec[:, 2]
-        off0 = (f2 >> 16) + off
-        cum1 = f2 & 0xFFFF
-        ff = (off0 >= cum1).astype(jnp.int32)
-        n_idx = rec[:, 1] + ff
-        n_off = off0 - ff * cum1
+        n_idx, n_off = fused_lf_math(rec, off)
         return (jnp.where(active, n_idx, idx),
                 jnp.where(active, n_off, off),
                 dist + active.astype(jnp.int32))

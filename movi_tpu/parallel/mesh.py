@@ -60,7 +60,7 @@ def _pml_classify_scan(fi: FusedIndex, alphas_t: jax.Array,
     ml0 = jnp.zeros((lanes,), jnp.int32)
 
     def step(state, a):
-        return fused_pml_step(fi.records, slots, state, a)
+        return fused_pml_step(fi.records, slots, fi.p_dollar, state, a)
 
     _, ml = jax.lax.scan(step, (idx0, off0, ml0), alphas_t)
 

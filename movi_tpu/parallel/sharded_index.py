@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental.shard_map import shard_map
 
-from ..engine.fused import FusedIndex
+from ..engine.fused import FusedIndex, fused_step_math
 
 
 def make_2d_mesh(data: int, model: int) -> Mesh:
@@ -46,6 +46,7 @@ def sharded_fused_pml(mesh: Mesh, fi: FusedIndex, alphas_t: np.ndarray):
     shard_len = records.shape[0] // model
     slots = fi.sigma + 1
     start_idx, start_off = fi.start_idx, fi.start_offset
+    p_dollar = fi.p_dollar
 
     rec_sharding = NamedSharding(mesh, P("model", None))
     lane_sharding = NamedSharding(mesh, P(None, "data"))
@@ -72,26 +73,7 @@ def sharded_fused_pml(mesh: Mesh, fi: FusedIndex, alphas_t: np.ndarray):
                            jnp.clip(local, 0, shard_len - 1), axis=0)
             rec = jnp.where(owned[:, None], rec, 0)
             rec = jax.lax.psum(rec, "model")
-
-            f0 = rec[:, 0]
-            thr = f0 & 0xFFFF
-            is_match = (f0 >> 16) & 1
-            use_lf = (f0 >> 17) & 1
-            f2 = rec[:, 2]
-            off0_ = (f2 >> 16) + offset
-            cum1 = f2 & 0xFFFF
-            ff = (off0_ >= cum1).astype(jnp.int32)
-            c1_run = rec[:, 1] + ff
-            c1_off = off0_ - ff * cum1
-            down = offset >= thr
-            c2_run = jnp.where(down, rec[:, 4], rec[:, 3])
-            f5 = rec[:, 5]
-            c2_off = jnp.where(down, f5 >> 16, f5 & 0xFFFF)
-            lf_path = use_lf == 1
-            new_idx = jnp.where(lf_path, c1_run, c2_run)
-            new_off = jnp.where(lf_path, c1_off, c2_off)
-            new_ml = jnp.where(is_match == 1, ml + 1, 0)
-            return (new_idx, new_off, new_ml), new_ml
+            return fused_step_math(rec, state, p_dollar)
 
         _, ml = jax.lax.scan(step, (idx0, off0, ml0), alphas)
         return ml

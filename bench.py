@@ -1,21 +1,32 @@
 #!/usr/bin/env python
 """Headline benchmark: PML query throughput (bases/sec) on one chip.
 
-Mirrors the BASELINE.md north star: PML on a regular-thresholds index,
-fused single-gather engine (movi_tpu/engine/fused.py).  Prints ONE JSON
-line: {"metric", "value", "unit", "vs_baseline"}.
+Reports BOTH gather regimes of the fused single-gather engine
+(movi_tpu/engine/fused.py):
+
+  - the HEADLINE number is the HBM regime: a synthetic ~5 M-run index
+    (~200 MB of step records, far past VMEM) -- the production-
+    representative pangenome case, where each PML step is one random
+    8-byte gather from HBM;
+  - `small_index_bases_per_sec` is the cache regime: the 80 KB test
+    reference whose record table fits VMEM (the reference repo's own
+    tests_data scale).
+
+vs_baseline is MEASURED, not assumed: the native single-core scalar PML
+loop (native/movi_native.cpp, the reference's no-prefetch query path
+move_structure_query.cpp:234-361 compiled -O3) runs on the SAME large
+index and read set on this machine's CPU.  Falls back to the 5 Mbases/s
+literature constant only if the native library is not built.
 
 Measurement notes:
   - The driver environment reaches the TPU through a relay with ~30 ms
-    per-call latency and slow host<->device transfer, so the timed region
-    runs REPS whole batches inside one jitted call and returns a checksum;
-    the checksum is also what forces execution.  Per-read PML output
-    writes (the scan ys) cost ~4 us/step (measured) and are included in
-    the device computation when consumers read them.
-  - vs_baseline: single-core Movi-CPU PML throughput.  The reference repo
-    publishes no absolute numbers (BASELINE.md); we use 5.0 Mbases/s as
-    the assumed single-core CPU rate (hundreds of ns/base regime of the
-    iScience 2024 paper).  The >=10x target is vs_baseline >= 10.
+    per-call latency and slow host<->device transfer, so the timed
+    region runs REPS whole batches inside one jitted call and returns a
+    checksum; the checksum is also what forces execution.
+  - Inputs are perturbed per repetition to defeat loop-invariant
+    hoisting, and the checksum depends on every rep to defeat CSE.
+  - Index builds are cached under .bench_cache/ so re-runs skip the
+    ~50 s host-side synthetic build.
 """
 
 import json
@@ -27,20 +38,70 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import numpy as np
 
-BASELINE_BASES_PER_SEC = 5.0e6
+BASELINE_FALLBACK = 5.0e6
 
 LANES = int(os.environ.get("BENCH_LANES", 32768))
 READ_LEN = int(os.environ.get("BENCH_READ_LEN", 150))
 REPS = int(os.environ.get("BENCH_REPS", 20))
+REPS_HBM = int(os.environ.get("BENCH_REPS_HBM", 8))
+HBM_TEXT = int(os.environ.get("BENCH_HBM_TEXT", 6_000_000))
+CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         ".bench_cache")
 
 
-def main():
+def make_reads(text, lanes, read_len, seed):
+    rng = np.random.default_rng(seed)
+    starts = rng.integers(0, len(text) - read_len, size=lanes)
+    reads = np.stack([text[s: s + read_len] for s in starts])
+    err = rng.random(reads.shape) < 0.01
+    return np.where(err, rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                                    size=reads.shape), reads)
+
+
+def tpu_rate(fi, reads, reps):
+    """Timed fused-PML throughput (bases/sec) for one index."""
     import jax
     import jax.numpy as jnp
 
+    from movi_tpu.engine.fused import fused_pml_step
+
+    alphas = jnp.asarray(
+        fi.alphamap_query[reads[:, ::-1]].T.astype(np.int32))
+    slots = fi.sigma + 1
+    lanes, read_len = reads.shape
+
+    @jax.jit
+    def run_reps(records, alphas):
+        def onebatch(k, acc):
+            idx0 = jnp.full((lanes,), fi.start_idx, jnp.int32)
+            off0 = jnp.full((lanes,), fi.start_offset, jnp.int32)
+            ml0 = jnp.zeros((lanes,), jnp.int32)
+
+            def step(state, a):
+                return fused_pml_step(records, slots, fi.p_dollar, state, a)
+
+            # perturb the first char slot by k to defeat loop-invariant
+            # hoisting across reps (k mod slots stays a legal slot)
+            a0 = jnp.where(jnp.arange(lanes) == 0, (alphas[0] + k) % slots,
+                           alphas[0])
+            (_, _, _), ml = jax.lax.scan(
+                step, (idx0, off0, ml0),
+                jnp.concatenate([a0[None], alphas[1:]], axis=0))
+            return acc + ml.astype(jnp.int64).sum()
+
+        return jax.lax.fori_loop(0, reps, onebatch, jnp.int64(0))
+
+    _ = np.asarray(run_reps(fi.records, alphas))  # compile + warm
+    t0 = time.time()
+    _ = int(np.asarray(run_reps(fi.records, alphas)))
+    dt = (time.time() - t0) / reps
+    return lanes * read_len / dt
+
+
+def build_small():
     from movi_tpu.build.prepare_ref import prepare_ref
     from movi_tpu.build.suffix import build_bwt_runs
-    from movi_tpu.engine.fused import build_fused_index, fused_pml_step
+    from movi_tpu.engine.fused import build_fused_index
     from movi_tpu.index.structure import build_move_index
 
     ref_fasta = "/root/reference/tests_data/ref.fasta"
@@ -49,55 +110,112 @@ def main():
     else:
         rng = np.random.default_rng(0)
         text = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=200000)
+    runs = build_bwt_runs(text)
+    ix = build_move_index(runs, "regular-thresholds", bound_ff=1)
+    return build_fused_index(ix), text
+
+
+def build_large():
+    """Synthetic ~5 M-run index (cached).  Returns (fused_index, reads,
+    baseline_arrays_or_None)."""
+    from movi_tpu.engine.fused import (build_fused_index, load_fused_index,
+                                       save_fused_index)
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    tag = f"hbm_{HBM_TEXT}"
+    fi_path = os.path.join(CACHE_DIR, f"{tag}.fused.npz")
+    base_path = os.path.join(CACHE_DIR, f"{tag}.baseline.npz")
+
+    rng = np.random.default_rng(0)
+    text = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=HBM_TEXT)
+    reads = make_reads(text, LANES, READ_LEN, seed=42)
+
+    if os.path.exists(fi_path) and os.path.exists(base_path):
+        try:
+            fi = load_fused_index(fi_path)
+            base = dict(np.load(base_path))
+            return fi, reads, base
+        except Exception:
+            pass
+
+    from movi_tpu.build.suffix import build_bwt_runs
+    from movi_tpu.engine.device_index import build_thr_full
+    from movi_tpu.index.structure import build_move_index
 
     runs = build_bwt_runs(text)
     ix = build_move_index(runs, "regular-thresholds", bound_ff=1)
     fi = build_fused_index(ix)
+    base = {
+        "n": ix.n_arr.astype(np.int32),
+        "off": ix.offset_arr.astype(np.int32),
+        "id": ix.id_arr.astype(np.int64),
+        "c": ix.c_arr.astype(np.uint8),
+        "thr": build_thr_full(ix).astype(np.uint16),
+        "sigma": np.int64(ix.sigma),
+    }
+    save_fused_index(fi, fi_path)
+    np.savez(base_path, **base)
+    return fi, reads, base
 
-    # synthetic error-bearing reads sampled from the reference
-    rng = np.random.default_rng(42)
-    starts = rng.integers(0, len(text) - READ_LEN, size=LANES)
-    reads = np.stack([text[s : s + READ_LEN] for s in starts])
-    err = rng.random(reads.shape) < 0.01
-    reads = np.where(err, rng.choice(np.frombuffer(b"ACGT", np.uint8),
-                                     size=reads.shape), reads)
-    alphas = jnp.asarray(fi.alphamap_query[reads[:, ::-1]].T.astype(np.int32))
 
-    slots = fi.sigma + 1
+def measure_native_baseline(fi, base, reads):
+    """Single-core scalar PML rate on the same index + reads (bases/s)."""
+    from movi_tpu.cpu_ref.native_pml import _load
 
-    @jax.jit
-    def run_reps(alphas):
-        def onebatch(k, acc):
-            idx0 = jnp.full((LANES,), fi.start_idx, jnp.int32)
-            off0 = jnp.full((LANES,), fi.start_offset, jnp.int32)
-            ml0 = jnp.zeros((LANES,), jnp.int32)
-
-            def step(state, a):
-                return fused_pml_step(fi.records, slots, fi.p_dollar, state, a)
-
-            # perturb the first char slot by k to defeat loop-invariant
-            # hoisting across reps (k mod sigma stays a legal slot)
-            a0 = jnp.where(jnp.arange(LANES) == 0, (alphas[0] + k) % slots,
-                           alphas[0])
-            (_, _, ml_last), ml = jax.lax.scan(
-                step, (idx0, off0, ml0),
-                jnp.concatenate([a0[None], alphas[1:]], axis=0))
-            return acc + ml.astype(jnp.int64).sum()
-
-        return jax.lax.fori_loop(0, REPS, onebatch, jnp.int64(0))
-
-    _ = np.asarray(run_reps(alphas))  # compile + warm
+    lib = _load()
+    if not lib:
+        return None
+    import ctypes
+    n_reads = min(len(reads), 20000)
+    alphas = np.ascontiguousarray(
+        fi.alphamap_query[reads[:n_reads, ::-1]].astype(np.uint8))
+    args = [np.ascontiguousarray(base["n"]),
+            np.ascontiguousarray(base["off"]),
+            np.ascontiguousarray(base["id"]),
+            np.ascontiguousarray(base["c"]),
+            np.ascontiguousarray(base["thr"])]
+    ptrs = [a.ctypes.data_as(ctypes.POINTER(t)) for a, t in zip(
+        args, [ctypes.c_int32, ctypes.c_int32, ctypes.c_int64,
+               ctypes.c_uint8, ctypes.c_uint16])]
+    r = int(len(base["n"]))
+    sigma = int(base["sigma"])
     t0 = time.time()
-    checksum = int(np.asarray(run_reps(alphas)))
-    dt = (time.time() - t0) / REPS
+    lib.movi_scalar_pml(
+        *ptrs, ctypes.c_int64(r), ctypes.c_int32(sigma),
+        alphas.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int64(n_reads), ctypes.c_int64(READ_LEN))
+    dt = time.time() - t0
+    return n_reads * READ_LEN / dt
 
-    bases = LANES * READ_LEN
-    bases_per_sec = bases / dt
+
+def main():
+    out = {}
+
+    fi_hbm, reads_hbm, base = build_large()
+    out["hbm_index_runs"] = int(fi_hbm.r)
+    out["record_bytes_per_row"] = 8 * (fi_hbm.sigma + 1)
+
+    baseline = measure_native_baseline(fi_hbm, base, reads_hbm)
+    if baseline is None:
+        baseline = BASELINE_FALLBACK
+        out["baseline_assumed_bases_per_sec"] = baseline
+    else:
+        out["baseline_measured_bases_per_sec"] = round(baseline, 1)
+
+    hbm_rate = tpu_rate(fi_hbm, reads_hbm, REPS_HBM)
+
+    fi_small, text_small = build_small()
+    reads_small = make_reads(text_small, LANES, READ_LEN, seed=42)
+    out["small_index_runs"] = int(fi_small.r)
+    out["small_index_bases_per_sec"] = round(tpu_rate(
+        fi_small, reads_small, REPS), 1)
+
     print(json.dumps({
-        "metric": "pml_bases_per_sec_per_chip",
-        "value": round(bases_per_sec, 1),
+        "metric": "pml_bases_per_sec_per_chip_hbm",
+        "value": round(hbm_rate, 1),
         "unit": "bases/sec",
-        "vs_baseline": round(bases_per_sec / BASELINE_BASES_PER_SEC, 3),
+        "vs_baseline": round(hbm_rate / baseline, 3),
+        **out,
     }))
 
 

@@ -162,17 +162,24 @@ def _init_interval_small(si: FusedSearchIndex, a):
             jnp.take(si.last_offsets, a1, axis=0))
 
 
+# current interval keys and the keys holding the last non-empty interval
+# (the reference reports the interval BEFORE the failing extension,
+# move_structure_search.cpp:340-352)
+_CUR_KEYS = ("rs", "os", "re", "oe")
+_PREV_KEYS = ("prs", "pos_", "pre", "poe")
+
+
 def _count_body(si: FusedSearchIndex):
     def body(state, a):
         alive = ~state["done"]
-        nrs, nos, nre, noe, empty = fused_bs_step(
+        stepped = fused_bs_step(
             si, state["rs"], state["os"], state["re"], state["oe"], a)
+        empty = stepped[-1]
         ok = alive & ~empty
         new = dict(state)
-        for k, v in (("rs", nrs), ("os", nos), ("re", nre), ("oe", noe)):
-            new[k] = jnp.where(ok, v, state[k])
-            new["p" + k if k != "os" else "pos_"] = jnp.where(
-                ok, v, state["p" + k if k != "os" else "pos_"])
+        for cur, prev, v in zip(_CUR_KEYS, _PREV_KEYS, stepped[:4]):
+            new[cur] = jnp.where(ok, v, state[cur])
+            new[prev] = jnp.where(ok, v, state[prev])
         new["matched"] = state["matched"] + ok.astype(jnp.int32)
         new["done"] = state["done"] | (alive & empty)
         return new, None

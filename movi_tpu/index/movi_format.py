@@ -69,8 +69,34 @@ def _basic_bytes(ix: MoveIndex, nt_splitting: int = 0,
     return bytes(out)
 
 
-def _overflow_bytes() -> bytes:
-    return struct.pack("<QQQ", 0, 0, 0)
+def _overflow_bytes(n_overflow=(), offset_overflow=(),
+                    thr_overflow=None) -> bytes:
+    """write_overflow_tables (move_structure_io.cpp:185-199): three
+    u64-counted sections.  n/offset entries are u64 escape values; each
+    thresholds entry is (sigma-1) u64 values for one overflowed row."""
+    out = bytearray()
+    out += struct.pack("<Q", len(n_overflow))
+    out += np.asarray(n_overflow, dtype="<u8").tobytes()
+    out += struct.pack("<Q", len(offset_overflow))
+    out += np.asarray(offset_overflow, dtype="<u8").tobytes()
+    k = 0 if thr_overflow is None else len(thr_overflow)
+    out += struct.pack("<Q", k)
+    if k:
+        out += np.asarray(thr_overflow, dtype="<u8").tobytes()
+    return bytes(out)
+
+
+def _read_overflow_tables(f, n_thr_slots: int):
+    """Counterpart of read_overflow_tables (move_structure_io.cpp:218-249).
+    Returns (n_overflow, offset_overflow, thr_overflow[k, n_thr_slots])."""
+    (ns,) = struct.unpack("<Q", f.read(8))
+    n_ovf = np.frombuffer(f.read(ns * 8), dtype="<u8").astype(np.int64)
+    (os_,) = struct.unpack("<Q", f.read(8))
+    off_ovf = np.frombuffer(f.read(os_ * 8), dtype="<u8").astype(np.int64)
+    (ts,) = struct.unpack("<Q", f.read(8))
+    thr_ovf = np.frombuffer(f.read(ts * n_thr_slots * 8),
+                            dtype="<u8").astype(np.int64)
+    return n_ovf, off_ovf, thr_ovf.reshape(ts, n_thr_slots)
 
 
 def _counts_bytes(ix: MoveIndex) -> bytes:
@@ -112,11 +138,40 @@ def _next_pointer_fields(ix: MoveIndex):
     return ups, downs
 
 
-def _rows_movi1(ix: MoveIndex, constant: bool = False) -> bytes:
+def _sep_row_mask(ix: MoveIndex) -> np.ndarray:
+    from ..constants import SEPARATOR
+    if not ix.separators:
+        return np.zeros(ix.r, dtype=bool)
+    m = ix.alphabet[ix.c_arr] == SEPARATOR
+    m[ix.end_bwt_idx] = False  # '$' row stores c = alphabet index 0
+    return m
+
+
+def _rows_movi1(ix: MoveIndex, constant: bool = False):
     """Large/split 12B rows: id u32 | n u16 | offset u16 | threshold u16 |
     overflow_bits u8 | thresholds_status u8.  Constant rows append
-    next_up[3] + next_down[3] u16 (24B total)."""
+    next_up[3] + next_down[3] u16 (24B total).
+
+    A row whose 3 thresholds hold >= 2 DISTINCT non-trivial values (not 0,
+    not n) cannot be packed into the single u16 threshold field: its exact
+    values spill to the thresholds_overflow table and the row stores the
+    table index through the status machinery with overflow bit 6 CLEARED
+    (the reference's bit convention is inverted: a cleared bit means
+    overflow, move_row.hpp:202-205).  This mirrors the reference's intent
+    (move_structure_build.cpp:892-903); the reference's own writer
+    mis-flags these rows (`rlbwt[i]` for `rlbwt[idx]` in
+    set_rlbwt_thresholds, move_row getters resolve via
+    thresholds_overflow[stored_index] either way), so we implement the
+    documented resolution path, which the reference reader
+    (move_structure.cpp:328-335) decodes exactly.
+
+    Returns (bytes, thr_overflow int64[k, 3])."""
     r = ix.r
+    if int(ix.n_arr.max()) > 0xFFFF or int(ix.offset_arr.max()) > 0xFFFF:
+        raise ValueError(
+            "run length or offset exceeds the 16-bit row field; the "
+            "reference build raises here too (move_structure_build.cpp:625)"
+            " -- rebuild with run splitting")
     if constant:
         rows = np.zeros(r, dtype=[("id", "<u4"), ("n", "<u2"), ("off", "<u2"),
                                   ("thr", "<u2"), ("ovf", "u1"), ("ts", "u1"),
@@ -130,22 +185,56 @@ def _rows_movi1(ix: MoveIndex, constant: bool = False) -> bytes:
     rows["id"] = ix.id_arr & 0xFFFFFFFF
     rows["n"] = ix.n_arr
     rows["off"] = ix.offset_arr
-    rows["ovf"] = 0xF0 | ((ix.id_arr >> 32) & 0x0F)
+    ovf = (0xF0 | ((ix.id_arr >> 32) & 0x0F)).astype(np.uint8)
     ts = np.zeros(r, dtype=np.uint16)
     thr16 = np.zeros(r, dtype=np.uint16)
+    thr_overflow = np.zeros((0, 3), dtype=np.int64)
     if ix.thr is not None:
         n64 = ix.n_arr.astype(np.int64)
+        v = ix.thr.astype(np.int64)                      # [r, 3]
+        nontrivial = (v > 0) & (v < n64[:, None])
+        vmax = np.where(nontrivial, v, np.int64(-1)).max(axis=1)
+        vmin = np.where(nontrivial, v, np.iinfo(np.int64).max).min(axis=1)
+        multi = (nontrivial.sum(axis=1) >= 2) & (vmax != vmin)
+        multi[ix.end_bwt_idx] = False   # stored in end_bwt_idx_thresholds
+        multi[0] = False                # row 0 thresholds are forced to 0
+        multi[_sep_row_mask(ix)] = False  # stored in separators_thresholds
         for slot in range(3):
-            v = ix.thr[:, slot].astype(np.int64)
-            status = np.where(v == 0, 0, np.where(v >= n64, 3, 1))
+            vs = v[:, slot]
+            status = np.where(vs == 0, 0, np.where(vs >= n64, 3, 1))
             ts |= (status.astype(np.uint16) << (slot * 2))
-            nontrivial = status == 1
-            thr16 = np.where(nontrivial, v.astype(np.uint16), thr16)
+            thr16 = np.where(status == 1, vs.astype(np.uint16), thr16)
+        over_rows = np.flatnonzero(multi)[::-1]  # reference push order:
+        if len(over_rows):                       # i = r-1 down to 1
+            thr_overflow = v[over_rows]
+            if len(over_rows) >= 0xFFFF:
+                raise ValueError(
+                    "more than uint16 rows with overflow thresholds "
+                    "(move_structure_build.cpp:894)")
+            ovf[over_rows] &= ~np.uint8(0x40)    # clear bit 6 = overflow
+            tab = np.arange(len(over_rows), dtype=np.int64)
+            st = np.where(tab == 0, 0, np.where(tab == n64[over_rows], 3, 1))
+            ts_over = (st | (st << 2) | (st << 4)).astype(np.uint16)
+            ts[over_rows] = ts_over
+            thr16[over_rows] = np.where(st == 1, tab, 0).astype(np.uint16)
     ts |= (ix.c_arr.astype(np.uint16) << 6) & 0xC0
     # '$' row: stored c bits are 0 (masked set_c), matching c_arr[end]=0
     rows["thr"] = thr16
     rows["ts"] = ts.astype(np.uint8)
-    return rows.tobytes()
+    rows["ovf"] = ovf
+    return rows.tobytes(), thr_overflow
+
+
+def _check_run_fields(ix: MoveIndex, max_run: int):
+    """SPLIT_MAX_RUN modes raise when a run field exceeds its packed
+    width (move_structure_build.cpp:612-617) -- values are never masked
+    silently."""
+    if int(ix.n_arr.max()) > max_run or int(ix.offset_arr.max()) > max_run:
+        raise ValueError(
+            f"run length {int(ix.n_arr.max())} / offset "
+            f"{int(ix.offset_arr.max())} exceeds the mode's "
+            f"MAX_RUN_LENGTH {max_run}; rebuild with run splitting "
+            f"(the reference raises here too)")
 
 
 def _rows_regular(ix: MoveIndex, with_thr: bool) -> bytes:
@@ -154,6 +243,7 @@ def _rows_regular(ix: MoveIndex, with_thr: bool) -> bytes:
     r = ix.r
     shift_c = 13
     len_bits = 11 if with_thr else 12
+    _check_run_fields(ix, (1 << len_bits) - 1)
     nfield = (ix.n_arr.astype(np.uint32) & ((1 << len_bits) - 1)) | \
              (ix.c_arr.astype(np.uint32) << shift_c)
     ofield = (ix.offset_arr.astype(np.uint32) & ((1 << len_bits) - 1)) | \
@@ -207,6 +297,7 @@ def _blocked_ids(ix: MoveIndex, mode_num: int):
 
 def _rows_blocked(ix: MoveIndex, mode_num: int):
     """Blocked 6B rows: id u16 | n u16 | offset u16."""
+    _check_run_fields(ix, 0x3FF)
     blocked, id_blocks, block_size = _blocked_ids(ix, mode_num)
     r = ix.r
     nfield = (ix.n_arr.astype(np.uint32) & 0x3FF) | \
@@ -229,6 +320,7 @@ def _rows_blocked(ix: MoveIndex, mode_num: int):
 
 def _rows_tally(ix: MoveIndex, with_thr: bool) -> bytes:
     """Sampled 3B rows: n u8 | offset u8 | c u8."""
+    _check_run_fields(ix, 0x1FF if with_thr else 0x3FF)
     r = ix.r
     n = ix.n_arr.astype(np.uint32)
     off = ix.offset_arr.astype(np.uint32)
@@ -320,8 +412,10 @@ def write_movi(ix: MoveIndex, path: str,
             f.write(struct.pack("<QQQ", ix.length, ix.r, ix.end_bwt_idx))
         f.write(_basic_bytes(ix, nt_splitting=1 if mode_num in (1, 4) else 0,
                              constant=1 if mode_num == 1 else 0))
+        thr_overflow = None
         if mode_num in (0, 1, 4):
-            f.write(_rows_movi1(ix, constant=(mode_num == 1)))
+            rows, thr_overflow = _rows_movi1(ix, constant=(mode_num == 1))
+            f.write(rows)
         elif mode_num in (3, 6):
             f.write(_rows_regular(ix, with_thr=(mode_num == 6)))
         elif mode_num in (2, 8):
@@ -332,7 +426,7 @@ def write_movi(ix: MoveIndex, path: str,
             f.write(_tally_table(ix, tally_checkpoints))
         else:
             raise ValueError(f"unsupported mode {ix.mode}")
-        f.write(_overflow_bytes())
+        f.write(_overflow_bytes(thr_overflow=thr_overflow))
         f.write(_counts_bytes(ix))
         if mode_num in (2, 8):
             f.write(struct.pack("<Q", id_blocks.shape[1]))
@@ -492,14 +586,8 @@ def read_movi(path: str, mode_hint: int = -1) -> MoveIndex:
             id_arr = rows["id"].astype(np.int64) | \
                 ((rows["ovf"].astype(np.int64) & 0xF) << 32)
             c_arr = ((rows["ts"] >> 6) & 0x3).astype(np.uint8)
-            thr = np.zeros((r, 3), dtype=np.int32)
-            n64 = n_arr.astype(np.int64)
-            for slot in range(3):
-                status = (rows["ts"] >> (slot * 2)) & 0x3
-                thr[:, slot] = np.where(
-                    status == 0, 0,
-                    np.where(status == 3, n_arr,
-                             rows["thr"].astype(np.int32)))
+            thr = None          # resolved after the overflow tables
+            rows_movi1 = rows
         elif mode_num in (2, 8):
             # blocked 6 B rows (move_row_configs.hpp:54-104); the 24-bit
             # id deltas are ignored -- ids are recomputed in full
@@ -550,7 +638,36 @@ def read_movi(path: str, mode_hint: int = -1) -> MoveIndex:
         else:
             raise NotImplementedError(
                 f"read_movi for mode {mode} not supported yet")
-        f.read(24)  # overflow tables (sizes 0)
+        n_ovf_t, off_ovf_t, thr_ovf_t = _read_overflow_tables(
+            f, max(1, len(alphabet) - 1))
+        if mode_num in (0, 1, 4):
+            # resolve overflow escapes (get_n/get_offset/get_thresholds,
+            # move_structure.cpp:311-335): a CLEARED overflow bit means
+            # the packed field holds a table index, not the value
+            ovfb = rows_movi1["ovf"]
+            for bit, table, arr in ((4, n_ovf_t, n_arr),
+                                    (5, off_ovf_t, offset_arr)):
+                ri = np.flatnonzero(((ovfb >> bit) & 1) == 0)
+                if len(ri):
+                    vals = table[arr[ri]]
+                    assert int(vals.max()) <= np.iinfo(np.int32).max
+                    arr[ri] = vals.astype(np.int32)
+            n64 = n_arr.astype(np.int64)
+            thr = np.zeros((r, 3), dtype=np.int32)
+            for slot in range(3):
+                status = (rows_movi1["ts"] >> (slot * 2)) & 0x3
+                thr[:, slot] = np.where(
+                    status == 0, 0,
+                    np.where(status == 3, n_arr,
+                             rows_movi1["thr"].astype(np.int32)))
+            ri = np.flatnonzero(((ovfb >> 6) & 1) == 0)
+            if len(ri):
+                st0 = rows_movi1["ts"][ri] & 3
+                tab_idx = np.where(
+                    st0 == 0, 0,
+                    np.where(st0 == 3, n64[ri],
+                             rows_movi1["thr"][ri].astype(np.int64)))
+                thr[ri] = thr_ovf_t[tab_idx][:, :3].astype(np.int32)
         (cs,) = struct.unpack("<Q", f.read(8))
         counts = np.frombuffer(f.read(cs * 8), dtype="<u8").astype(np.int64)
         (ls,) = struct.unpack("<Q", f.read(8))
@@ -657,7 +774,7 @@ def read_movi_colored(path: str):
             thr = np.stack([b0 * n64, b1 * n64, b2 * n64],
                            axis=1).astype(np.int32)
         color = rows["color"].astype(np.int64)
-        f.read(24)
+        _read_overflow_tables(f, max(1, len(alphabet) - 1))  # always empty
         (cs,) = struct.unpack("<Q", f.read(8))
         counts = np.frombuffer(f.read(cs * 8), dtype="<u8").astype(np.int64)
         (ls,) = struct.unpack("<Q", f.read(8))

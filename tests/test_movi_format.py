@@ -180,3 +180,57 @@ def test_movi_colored_roundtrip(bwt_runs, tmp_path):
     assert np.array_equal(ix2.n_arr, ix.n_arr)
     assert np.array_equal(ix2.id_arr, ix.id_arr)
     assert np.array_equal(ix2.thr, ix.thr)
+
+
+@requires_ref_data
+def test_threshold_overflow_roundtrip(bwt_runs, tmp_path):
+    """Rows with >= 2 distinct non-trivial thresholds spill their exact
+    values to the thresholds_overflow table (write_overflow_tables,
+    move_structure_io.cpp:185-199) and resolve on read
+    (move_structure.cpp:328-335).  The test reference has no such rows,
+    so force some."""
+    import dataclasses
+    import struct
+
+    ix = build_move_index(bwt_runs, "large")
+    thr = ix.thr.copy()
+    n64 = ix.n_arr.astype(np.int64)
+    # pick rows with n >= 3 and != end/0 and force distinct non-trivials
+    cand = np.flatnonzero((n64 >= 3) & (np.arange(ix.r) != ix.end_bwt_idx)
+                          & (np.arange(ix.r) != 0))[:40]
+    assert len(cand) >= 10
+    thr[cand, 0] = 1
+    thr[cand, 1] = 2
+    thr[cand, 2] = (n64[cand] - 1).astype(thr.dtype)
+    ix2 = dataclasses.replace(ix, thr=thr)
+    p = str(tmp_path / "index.movi")
+    write_movi(ix2, p)
+    back = read_movi(p)
+    assert np.array_equal(back.thr, thr)
+    assert np.array_equal(back.n_arr, ix.n_arr)
+    assert np.array_equal(back.id_arr, ix.id_arr)
+    # overflow entries were actually written (exact values, u64)
+    from movi_tpu.index.movi_format import _read_overflow_tables
+    with open(p, "rb") as f:
+        data = f.read()
+    # locate the section by re-reading through the reader's own parser:
+    # easiest structural check = file grew by 3*8 bytes per spilled row
+    base = str(tmp_path / "plain.movi")
+    write_movi(ix, base)
+    assert os.path.getsize(p) == os.path.getsize(base) + len(cand) * 3 * 8
+
+
+@requires_ref_data
+def test_run_field_overflow_raises(bwt_runs, tmp_path):
+    """Writers raise (like move_structure_build.cpp:612-617) instead of
+    silently masking run fields that exceed the packed width."""
+    import dataclasses
+
+    for mode, bad_n in [("regular-thresholds", 5000), ("blocked", 2000),
+                        ("sampled-thresholds", 600), ("large", 70000)]:
+        ix = build_move_index(bwt_runs, mode)
+        n2 = ix.n_arr.copy()
+        n2[10] = bad_n
+        ix2 = dataclasses.replace(ix, n_arr=n2)
+        with pytest.raises(ValueError, match="run length|exceeds"):
+            write_movi(ix2, str(tmp_path / f"{mode}.movi"))

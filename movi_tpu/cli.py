@@ -87,8 +87,10 @@ def cmd_build(args):
         header = ("legacy" if args.legacy_header
                   else "none" if args.no_header else "modern")
         write_movi(ix, os.path.join(args.index, "index.movi"),
-                   tally_checkpoints=args.checkpoint, header=header)
-        _log("wrote reference-format index.movi")
+                   tally_checkpoints=args.checkpoint, header=header,
+                   split_table=args.mmap)
+        _log("wrote reference-format index.movi"
+             + (" + rlbwt.movi (mmap pair)" if args.mmap else ""))
 
     eng = ScalarEngine(ix)
     if args.verify:
@@ -195,13 +197,20 @@ def _load_index(index_dir, mmap=False):
     mmap_dir = os.path.join(index_dir, "index.mmap")
     if mmap and os.path.isdir(mmap_dir):
         return MoveIndex.load_mmap(mmap_dir)
-    if mmap:
-        _log("no index.mmap/ layout found; loading index normally "
-             "(build with --mmap to enable)")
     npz = os.path.join(index_dir, "index.npz")
+    movi = os.path.join(index_dir, "index.movi")
+    rlbwt = os.path.join(index_dir, "rlbwt.movi")
+    if mmap and os.path.exists(movi) and os.path.exists(rlbwt):
+        # reference --mmap pair: map the packed row table from
+        # rlbwt.movi (read_main_table, move_structure_io.cpp:361-384)
+        from .index.movi_format import read_movi
+
+        return read_movi(movi, mmap_table=True)
+    if mmap:
+        _log("no index.mmap/ layout or rlbwt.movi pair found; loading "
+             "index normally (build with --mmap to enable)")
     if os.path.exists(npz):
         return MoveIndex.load(npz)
-    movi = os.path.join(index_dir, "index.movi")
     if os.path.exists(movi):
         from .index.movi_format import read_movi
 

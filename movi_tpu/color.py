@@ -73,10 +73,74 @@ class DocumentInfo:
 
 @dataclass
 class ColorTable:
-    doc_pats: np.ndarray                # uint16[n] species per BWT row
+    doc_pats: Optional[np.ndarray]      # uint16[n] species per BWT row
+    # (None when loaded from doc_sets-only reference binaries; only the
+    # build paths need it)
     doc_set_inds: np.ndarray            # int64[r] run -> unique set index
     unique_doc_sets: List[np.ndarray]   # each: sorted uint16 species ids
     doc_info: DocumentInfo = None
+
+    def save_reference(self, index_dir: str, compressed: bool = False,
+                       flat: bool = False):
+        """Write the reference's color binaries into the index dir:
+        doc_pats.bin + doc_sets.bin (or compress_doc_sets.bin when the
+        table is frequency/tree compressed) + doc_sets_flat.bin
+        (movi.cpp:175-213; formats move_structure_io.cpp:513-585)."""
+        import os
+
+        from .index.movi_format import (write_doc_pats_bin,
+                                        write_doc_sets_bin,
+                                        write_doc_sets_flat_bin)
+
+        if self.doc_pats is not None:
+            write_doc_pats_bin(self.doc_pats,
+                               os.path.join(index_dir, "doc_pats.bin"))
+        name = "compress_doc_sets.bin" if compressed else "doc_sets.bin"
+        write_doc_sets_bin(self.unique_doc_sets, self.doc_set_inds,
+                           os.path.join(index_dir, name))
+        if flat:
+            # the flat layout cannot express dropped (compressed-away)
+            # runs, whose index points past the kept table
+            inds = self.doc_set_inds
+            if int(inds.max(initial=0)) < len(self.unique_doc_sets):
+                write_doc_sets_flat_bin(
+                    self.unique_doc_sets, inds,
+                    os.path.join(index_dir, "doc_sets_flat.bin"))
+
+    @classmethod
+    def load_reference(cls, index_dir: str, r: int,
+                       doc_info: "DocumentInfo",
+                       length: Optional[int] = None) -> "ColorTable":
+        """Load color tables from the reference binaries
+        (load_color_table, movi.cpp:120-150): doc_sets.bin /
+        compress_doc_sets.bin / doc_sets_flat.bin, plus doc_pats.bin when
+        present."""
+        import os
+
+        from .index.movi_format import (read_doc_pats_bin,
+                                        read_doc_sets_bin,
+                                        read_doc_sets_flat_bin)
+
+        sets = inds = None
+        for name in ("doc_sets.bin", "compress_doc_sets.bin",
+                     "tree_doc_sets.bin"):
+            p = os.path.join(index_dir, name)
+            if os.path.exists(p):
+                sets, inds = read_doc_sets_bin(p, r)
+                break
+        else:
+            p = os.path.join(index_dir, "doc_sets_flat.bin")
+            if os.path.exists(p):
+                sets, inds = read_doc_sets_flat_bin(p, r)
+        if sets is None:
+            raise FileNotFoundError(
+                f"no doc_sets[.bin|_flat.bin] in {index_dir}")
+        dp_path = os.path.join(index_dir, "doc_pats.bin")
+        doc_pats = (read_doc_pats_bin(dp_path, length)
+                    if length is not None and os.path.exists(dp_path)
+                    else None)
+        return cls(doc_pats=doc_pats, doc_set_inds=inds,
+                   unique_doc_sets=sets, doc_info=doc_info)
 
     def save(self, path: str):
         flat, offsets = self.flatten()

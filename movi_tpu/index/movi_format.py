@@ -14,6 +14,7 @@ regular-thresholds(6), sampled-thresholds(7), blocked-thresholds(8).
 
 from __future__ import annotations
 
+import os
 import struct
 from typing import Optional
 
@@ -398,10 +399,16 @@ def _sep_thresholds_bytes(ix: MoveIndex) -> bytes:
 
 def write_movi(ix: MoveIndex, path: str,
                tally_checkpoints: int = TALLY_CHECKPOINTS,
-               header: str = "modern"):
+               header: str = "modern", split_table: bool = False):
     """header: "modern" (MoviHeader, default), "legacy" (single mode
     byte + length/r/end_bwt_idx), or "none" (raw characteristics only)
-    -- write_index_header, move_structure_io.cpp:42-63."""
+    -- write_index_header, move_structure_io.cpp:42-63.
+
+    split_table: also write the packed main row table to `rlbwt.movi`
+    next to `path`, the file the reference's `--mmap` query path
+    memory-maps (read_main_table, move_structure_io.cpp:361-384;
+    index.movi keeps the table region too -- the mmap reader seeks past
+    it)."""
     mode_num, _, use_thr, split_thr = MODE_INFO[ix.mode]
     with open(path, "wb") as f:
         if header == "modern":
@@ -417,15 +424,21 @@ def write_movi(ix: MoveIndex, path: str,
             rows, thr_overflow = _rows_movi1(ix, constant=(mode_num == 1))
             f.write(rows)
         elif mode_num in (3, 6):
-            f.write(_rows_regular(ix, with_thr=(mode_num == 6)))
+            rows = _rows_regular(ix, with_thr=(mode_num == 6))
+            f.write(rows)
         elif mode_num in (2, 8):
             rows, id_blocks, block_size = _rows_blocked(ix, mode_num)
             f.write(rows)
         elif mode_num in (5, 7):
-            f.write(_rows_tally(ix, with_thr=(mode_num == 7)))
+            rows = _rows_tally(ix, with_thr=(mode_num == 7))
+            f.write(rows)
             f.write(_tally_table(ix, tally_checkpoints))
         else:
             raise ValueError(f"unsupported mode {ix.mode}")
+        if split_table:
+            with open(os.path.join(os.path.dirname(os.path.abspath(path)),
+                                   "rlbwt.movi"), "wb") as rf:
+                rf.write(rows)
         f.write(_overflow_bytes(thr_overflow=thr_overflow))
         f.write(_counts_bytes(ix))
         if mode_num in (2, 8):
@@ -528,11 +541,28 @@ def _reconstruct_ids(n_arr: np.ndarray, c_arr: np.ndarray,
     return id_arr.astype(np.int64), offset_arr
 
 
-def read_movi(path: str, mode_hint: int = -1) -> MoveIndex:
+def read_movi(path: str, mode_hint: int = -1,
+              mmap_table: bool = False) -> MoveIndex:
     """Deserialize a reference index.movi into a MoveIndex (SoA): all 9
     packed layouts, with modern/legacy/headerless headers.  Used for
-    interop with reference-built indexes."""
+    interop with reference-built indexes.
+
+    mmap_table: memory-map the packed row table from the sibling
+    `rlbwt.movi` (the reference's `--mmap` pair layout, read_main_table
+    move_structure_io.cpp:361-384) instead of copying it through the
+    stream; the table region inside index.movi is seeked past.  Field
+    decoding then streams the mapped pages without a second copy."""
     hdr = read_movi_header(path, mode_hint)
+
+    def rows_region(f, r: int, dtype) -> np.ndarray:
+        nbytes = r * np.dtype(dtype).itemsize
+        if mmap_table:
+            rl = os.path.join(os.path.dirname(os.path.abspath(path)),
+                              "rlbwt.movi")
+            mm = np.memmap(rl, dtype=dtype, mode="r", shape=(r,))
+            f.seek(nbytes, 1)
+            return mm
+        return np.frombuffer(f.read(nbytes), dtype=dtype)
     mode_num = hdr["mode_num"]
     mode = {0: "large", 1: "constant", 2: "blocked", 3: "regular",
             4: "split", 5: "sampled", 6: "regular-thresholds",
@@ -549,9 +579,8 @@ def read_movi(path: str, mode_hint: int = -1) -> MoveIndex:
         f.read(3)  # nt_splitting + constant
         r = hdr["r"]
         if mode_num in (3, 6):
-            rows = np.frombuffer(
-                f.read(r * 8),
-                dtype=[("id", "<u4"), ("n", "<u2"), ("off", "<u2")])
+            rows = rows_region(
+                f, r, [("id", "<u4"), ("n", "<u2"), ("off", "<u2")])
             len_bits = 11 if mode_num == 6 else 12
             mask = (1 << len_bits) - 1
             n_arr = (rows["n"] & mask).astype(np.int32)
@@ -571,15 +600,13 @@ def read_movi(path: str, mode_hint: int = -1) -> MoveIndex:
             # large/split 12 B rows; constant appends 3+3 u16 next
             # pointers (rebuilt on demand from the SoA layout)
             if mode_num == 1:
-                rows = np.frombuffer(
-                    f.read(r * 24),
-                    dtype=[("id", "<u4"), ("n", "<u2"), ("off", "<u2"),
+                rows = rows_region(
+                    f, r, [("id", "<u4"), ("n", "<u2"), ("off", "<u2"),
                            ("thr", "<u2"), ("ovf", "u1"), ("ts", "u1"),
                            ("nup", "<u2", (3,)), ("ndown", "<u2", (3,))])
             else:
-                rows = np.frombuffer(
-                    f.read(r * 12),
-                    dtype=[("id", "<u4"), ("n", "<u2"), ("off", "<u2"),
+                rows = rows_region(
+                    f, r, [("id", "<u4"), ("n", "<u2"), ("off", "<u2"),
                            ("thr", "<u2"), ("ovf", "u1"), ("ts", "u1")])
             n_arr = rows["n"].astype(np.int32)
             offset_arr = rows["off"].astype(np.int32)
@@ -591,9 +618,8 @@ def read_movi(path: str, mode_hint: int = -1) -> MoveIndex:
         elif mode_num in (2, 8):
             # blocked 6 B rows (move_row_configs.hpp:54-104); the 24-bit
             # id deltas are ignored -- ids are recomputed in full
-            rows = np.frombuffer(
-                f.read(r * 6),
-                dtype=[("id", "<u2"), ("n", "<u2"), ("off", "<u2")])
+            rows = rows_region(
+                f, r, [("id", "<u2"), ("n", "<u2"), ("off", "<u2")])
             n_arr = (rows["n"] & 0x3FF).astype(np.int32)
             offset_arr = (rows["off"] & 0x3FF).astype(np.int32)
             c_arr = ((rows["off"] >> 10) & 0x7).astype(np.uint8)
@@ -609,8 +635,7 @@ def read_movi(path: str, mode_hint: int = -1) -> MoveIndex:
                 "blocked offset mismatch during id reconstruction"
         elif mode_num in (5, 7):
             # tally 3 B rows (move_row_configs.hpp:107-136); no id stored
-            rows = np.frombuffer(
-                f.read(r * 3), dtype=[("n", "u1"), ("off", "u1"),
+            rows = rows_region(f, r, [("n", "u1"), ("off", "u1"),
                                       ("c", "u1")])
             cf = rows["c"].astype(np.int32)
             if mode_num == 7:
@@ -734,6 +759,106 @@ def read_ftab_bin(path: str):
         ftab = np.frombuffer(f.read(size * 32),
                              dtype="<u8").astype(np.int64).reshape(size, 4)
     return int(k), ftab
+
+
+# ---------------------------------------------------------------------------
+# Movi Color binary artifacts (move_structure_io.cpp:513-641)
+
+
+def write_doc_pats_bin(doc_pats: np.ndarray, path: str):
+    """doc_pats.bin: raw u16 per BWT row, no header
+    (serialize_doc_pats, move_structure_io.cpp:550-556)."""
+    doc_pats.astype("<u2").tofile(path)
+
+
+def read_doc_pats_bin(path: str, length: int) -> np.ndarray:
+    """deserialize_doc_pats (move_structure_io.cpp:558-568)."""
+    dp = np.fromfile(path, dtype="<u2", count=length)
+    if len(dp) != length:
+        raise ValueError(f"{path}: expected {length} doc_pats, got {len(dp)}")
+    return dp.astype(np.uint16)
+
+
+def write_doc_sets_bin(unique_doc_sets, doc_set_inds: np.ndarray, path: str):
+    """doc_sets.bin / compress_doc_sets.bin: u64 count, then per set
+    {u16 size, u16 docs[size]}, then u32 doc_set_inds[r]
+    (serialize_doc_sets, move_structure_io.cpp:571-585)."""
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(unique_doc_sets)))
+        for s in unique_doc_sets:
+            f.write(struct.pack("<H", len(s)))
+            f.write(np.asarray(s, dtype="<u2").tobytes())
+        f.write(np.asarray(doc_set_inds, dtype="<u4").tobytes())
+
+
+def read_doc_sets_bin(path: str, r: int, with_inds: bool = True):
+    """deserialize_doc_sets (move_structure_io.cpp:612-634).  Returns
+    (unique_doc_sets, doc_set_inds or None) -- colored-row indexes store
+    the per-run indices inside the rows instead (COLOR_MODE == 1), so
+    the trailing r u32s are absent; pass with_inds=False then."""
+    with open(path, "rb") as f:
+        (cnt,) = struct.unpack("<Q", f.read(8))
+        sets = []
+        for _ in range(cnt):
+            (k,) = struct.unpack("<H", f.read(2))
+            sets.append(np.frombuffer(f.read(k * 2),
+                                      dtype="<u2").astype(np.uint16))
+        inds = None
+        if with_inds:
+            inds = np.frombuffer(f.read(r * 4),
+                                 dtype="<u4").astype(np.int64)
+            if len(inds) != r:
+                raise ValueError(f"{path}: expected {r} doc_set_inds")
+    return sets, inds
+
+
+def write_doc_sets_flat_bin(unique_doc_sets, doc_set_inds: np.ndarray,
+                            path: str):
+    """doc_sets_flat.bin: u64 flat size, u16 flat [len, docs...] blocks,
+    then 5-byte (u32 low | u8 high) per-run element offsets
+    (flat_and_serialize_colors_vectors, move_structure_io.cpp:513-548)."""
+    parts = []
+    offsets = np.zeros(max(len(unique_doc_sets), 1), dtype=np.int64)
+    off = 0
+    for i, s in enumerate(unique_doc_sets):
+        offsets[i] = off
+        parts.append(np.concatenate([[len(s)], s]).astype("<u2"))
+        off += len(s) + 1
+    flat = (np.concatenate(parts).astype("<u2") if parts
+            else np.zeros(0, dtype="<u2"))
+    flat_inds = offsets[np.asarray(doc_set_inds, dtype=np.int64)]
+    packed = np.zeros(len(flat_inds), dtype=[("right", "<u4"), ("left", "u1")])
+    packed["right"] = flat_inds & 0xFFFFFFFF
+    packed["left"] = (flat_inds >> 32) & 0xFF
+    with open(path, "wb") as f:
+        f.write(struct.pack("<Q", len(flat)))
+        f.write(flat.tobytes())
+        f.write(packed.tobytes())
+
+
+def read_doc_sets_flat_bin(path: str, r: int):
+    """deserialize_doc_sets_flat (move_structure_io.cpp:589-609).
+    Returns (unique_doc_sets, doc_set_inds) reconstructed from the flat
+    layout (sets ordered by flat offset)."""
+    with open(path, "rb") as f:
+        (fs,) = struct.unpack("<Q", f.read(8))
+        flat = np.frombuffer(f.read(fs * 2), dtype="<u2").astype(np.int64)
+        packed = np.frombuffer(f.read(r * 5),
+                               dtype=[("right", "<u4"), ("left", "u1")])
+        if len(packed) != r:
+            raise ValueError(f"{path}: expected {r} doc_set_flat_inds")
+    flat_inds = (packed["right"].astype(np.int64)
+                 | (packed["left"].astype(np.int64) << 32))
+    sets = []
+    off_to_idx = {}
+    off = 0
+    while off < len(flat):
+        off_to_idx[off] = len(sets)
+        k = int(flat[off])
+        sets.append(flat[off + 1: off + 1 + k].astype(np.uint16))
+        off += k + 1
+    inds = np.array([off_to_idx[int(o)] for o in flat_inds], dtype=np.int64)
+    return sets, inds
 
 
 def read_movi_colored(path: str):

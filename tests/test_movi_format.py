@@ -234,3 +234,25 @@ def test_run_field_overflow_raises(bwt_runs, tmp_path):
         ix2 = dataclasses.replace(ix, n_arr=n2)
         with pytest.raises(ValueError, match="run length|exceeds"):
             write_movi(ix2, str(tmp_path / f"{mode}.movi"))
+
+
+@requires_ref_data
+@pytest.mark.parametrize("mode", ["regular-thresholds", "large", "sampled"])
+def test_split_table_mmap_pair(bwt_runs, tmp_path, mode):
+    """write_movi(split_table=True) emits the reference --mmap pair
+    (index.movi + rlbwt.movi, read_main_table move_structure_io.cpp:
+    361-384); read_movi(mmap_table=True) memory-maps the row table and
+    reproduces the identical index."""
+    ix = build_move_index(bwt_runs, mode)
+    p = str(tmp_path / "index.movi")
+    write_movi(ix, p, split_table=True)
+    rl = tmp_path / "rlbwt.movi"
+    assert rl.exists()
+    # rlbwt.movi holds exactly the packed table bytes from index.movi
+    row_bytes = rl.read_bytes()
+    assert row_bytes in (tmp_path / "index.movi").read_bytes()
+    back = read_movi(p, mmap_table=True)
+    for fld in ("n_arr", "offset_arr", "id_arr", "c_arr"):
+        assert np.array_equal(getattr(back, fld), getattr(ix, fld)), fld
+    if ix.thr is not None:
+        assert np.array_equal(back.thr, ix.thr)

@@ -146,6 +146,10 @@ def cmd_build(args):
 
             ct = tree_compress_color_table(ct, ix.r)
         ct.save(os.path.join(args.index, "colors.npz"))
+        ct.save_reference(args.index,
+                          compressed=(args.compress_colors
+                                      or args.tree_compress_colors),
+                          flat=True)
         _log(f"colors: {len(ct.unique_doc_sets)} unique doc sets over "
              f"{di.num_docs} documents")
 
@@ -216,6 +220,38 @@ def _load_index(index_dir, mmap=False):
 
         return read_movi(movi)
     raise SystemExit(f"no index found in {index_dir}")
+
+
+def _load_color_table(index_dir, ix):
+    """Load the Movi Color tables like load_color_table
+    (movi.cpp:120-150): prefer the native colors.npz; else the embedded
+    colored rows (index_colored.movi, whose 12 B rows carry the per-run
+    color id -- add_colors_to_rlbwt, move_structure_color.cpp:352-374)
+    plus a doc_sets binary for the set contents; else the reference
+    doc_sets binaries (doc_sets.bin / compress_doc_sets.bin /
+    doc_sets_flat.bin) with per-run indices."""
+    from .color import ColorTable, load_document_info
+
+    npz = os.path.join(index_dir, "colors.npz")
+    if os.path.exists(npz):
+        return ColorTable.load(npz)
+    di = load_document_info(index_dir)
+    colored = os.path.join(index_dir, "index_colored.movi")
+    if os.path.exists(colored):
+        from .index.movi_format import read_doc_sets_bin, read_movi_colored
+
+        _, color_ids = read_movi_colored(colored)
+        for name in ("doc_sets.bin", "compress_doc_sets.bin",
+                     "tree_doc_sets.bin"):
+            p = os.path.join(index_dir, name)
+            if os.path.exists(p):
+                # COLOR_MODE == 1 readers skip the per-run indices --
+                # they live in the colored rows (move_structure_io.cpp:
+                # 630-633)
+                sets, _ = read_doc_sets_bin(p, ix.r, with_inds=False)
+                return ColorTable(doc_pats=None, doc_set_inds=color_ids,
+                                  unique_doc_sets=sets, doc_info=di)
+    return ColorTable.load_reference(index_dir, ix.r, di, length=ix.length)
 
 
 def _query_type(args):
@@ -311,7 +347,7 @@ def cmd_query(args):
     if args.multi_classify:
         from .color import ColorEngine, ColorTable
 
-        ct = ColorTable.load(os.path.join(args.index, "colors.npz"))
+        ct = _load_color_table(args.index, ix)
         report_colors = args.report_colors or args.report_color_ids
         out_path = (args.out_file
                     or f"{args.read}.{ix.mode}.multiclass.csv")
@@ -759,8 +795,11 @@ def cmd_color(args):
         ct = tree_compress_color_table(ct, ix.r)
         _log("tree-compressed")
     ct.save(os.path.join(args.index, "colors.npz"))
+    ct.save_reference(args.index,
+                      compressed=args.compress or args.tree_compress,
+                      flat=True)
     _log(f"colors: {len(ct.unique_doc_sets)} unique doc sets over "
-         f"{di.num_docs} documents")
+         f"{di.num_docs} documents (npz + reference .bin files)")
 
 
 def cmd_rlbwt(args):

@@ -52,3 +52,52 @@ def test_cli_sa_entries(tmp_path):
               "--sa-entries", "--out-file", str(tmp_path / "o")])
     assert r.returncode == 0, r.stderr
     assert os.path.exists(str(tmp_path / "o") + ".pml.sa_entries.bpf")
+
+
+def test_cli_multiclass_color_sources(tmp_path):
+    """query --multi-classify gives identical CSVs whether colors come
+    from colors.npz, the reference doc_sets binaries, or the embedded
+    colored rows of index_colored.movi (load_color_table,
+    movi.cpp:120-150)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    bases = "ACGT"
+    fasta = str(tmp_path / "multi.fa")
+    docs = ["".join(rng.choice(list(bases), size=900)) for _ in range(3)]
+    with open(fasta, "w") as f:
+        for i, d in enumerate(docs):
+            f.write(f">doc{i}\n{d}\n")
+    reads = str(tmp_path / "reads.fa")
+    with open(reads, "w") as f:
+        for k in range(8):
+            i = int(rng.integers(0, 3))
+            s = int(rng.integers(0, 800))
+            f.write(f">r{k}\n{docs[i][s:s+90]}\n")
+
+    idx = str(tmp_path / "idx")
+    r = _run(["build", "--fasta", fasta, "--index", idx, "--skip-null",
+              "--color"])
+    assert r.returncode == 0, r.stderr
+    for fn in ("colors.npz", "doc_pats.bin", "doc_sets.bin",
+               "doc_sets_flat.bin"):
+        assert os.path.exists(os.path.join(idx, fn)), fn
+    r = _run(["color-move-rows", "--index", idx])
+    assert r.returncode == 0, r.stderr
+
+    def csv():
+        out = str(tmp_path / "out")
+        r = _run(["query", "--index", idx, "--read", reads,
+                  "--pml", "--multi-classify", "--platform", "cpu",
+                  "--out-file", out])
+        assert r.returncode == 0, r.stderr
+        with open(out) as f:
+            return f.read()
+    want = csv()
+    assert len(want.splitlines()) == 8
+    os.remove(os.path.join(idx, "colors.npz"))
+    assert csv() == want          # from index_colored.movi + doc_sets.bin
+    os.remove(os.path.join(idx, "index_colored.movi"))
+    assert csv() == want          # from doc_sets.bin indices
+    os.remove(os.path.join(idx, "doc_sets.bin"))
+    assert csv() == want          # from doc_sets_flat.bin

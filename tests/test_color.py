@@ -94,3 +94,54 @@ def test_color_table_roundtrip(setup, tmp_path):
     for a, b in zip(ct2.unique_doc_sets, ct.unique_doc_sets):
         assert np.array_equal(a, b)
     assert np.array_equal(ct2.doc_info.to_taxon_id, di.to_taxon_id)
+
+
+def test_reference_color_binaries_roundtrip(setup, tmp_path):
+    """doc_pats.bin / doc_sets.bin / doc_sets_flat.bin reference binary
+    interop (serialize_doc_pats/doc_sets + flat_and_serialize_colors_
+    vectors, move_structure_io.cpp:513-641): write, reload through each
+    path, identical tables."""
+    import os
+
+    docs, text, runs, ix, di, ct = setup
+    d = str(tmp_path)
+    ct.save_reference(d, flat=True)
+    assert os.path.getsize(os.path.join(d, "doc_pats.bin")) == 2 * ix.length
+    nsets = len(ct.unique_doc_sets)
+    exp = 8 + sum(2 + 2 * len(s) for s in ct.unique_doc_sets) + 4 * ix.r
+    assert os.path.getsize(os.path.join(d, "doc_sets.bin")) == exp
+    flat_len = sum(1 + len(s) for s in ct.unique_doc_sets)
+    assert os.path.getsize(os.path.join(d, "doc_sets_flat.bin")) == \
+        8 + 2 * flat_len + 5 * ix.r
+
+    back = ColorTable.load_reference(d, ix.r, di, length=ix.length)
+    assert np.array_equal(back.doc_pats, ct.doc_pats)
+    assert np.array_equal(back.doc_set_inds, ct.doc_set_inds)
+    for a, b in zip(back.unique_doc_sets, ct.unique_doc_sets):
+        assert np.array_equal(a, b)
+
+    # flat path alone (reference default: no vector-of-vectors flag)
+    os.remove(os.path.join(d, "doc_sets.bin"))
+    back2 = ColorTable.load_reference(d, ix.r, di, length=ix.length)
+    assert np.array_equal(back2.doc_set_inds, ct.doc_set_inds)
+    for a, b in zip(back2.unique_doc_sets, ct.unique_doc_sets):
+        assert np.array_equal(a, b)
+
+
+def test_multiclass_from_reference_binaries(setup, tmp_path):
+    """Multi-class query results are identical whether the color table
+    came from colors.npz or the reference binaries."""
+    docs, text, runs, ix, di, ct = setup
+    d = str(tmp_path)
+    ct.save_reference(d, flat=False)
+    back = ColorTable.load_reference(d, ix.r, di, length=ix.length)
+    e1 = ColorEngine(ix, ct)
+    e2 = ColorEngine(ix, back)
+    rng = np.random.default_rng(5)
+    for _ in range(10):
+        doc_i = int(rng.integers(0, len(docs)))
+        s = int(rng.integers(0, len(docs[doc_i]) - 80))
+        read = docs[doc_i][s:s + 80].tobytes()
+        p1, c1 = e1.query_pml_multiclass(read)
+        p2, c2 = e2.query_pml_multiclass(read)
+        assert p1 == p2 and c1 == c2

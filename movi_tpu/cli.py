@@ -355,14 +355,14 @@ def cmd_query(args):
         color_lines = []
 
         # device path: the fused scan additionally emits per-base color
-        # ids; host tallies votes (engine/fused_color.py).  early-stop
-        # aborts mid-read, so it stays on the scalar path.
+        # ids; host tallies votes (engine/fused_color.py).  --early-stop
+        # retires lanes from the emitted streams (bit-equal to the
+        # scalar break) so it stays on device too.
         lf_abs = ix.all_p[ix.id_arr] + ix.offset_arr
         e = lf_abs + ix.n_arr - 1
         id_end = np.searchsorted(ix.all_p[:-1], e, side="right") - 1
         bounded = int((id_end - ix.id_arr).max()) <= 1
-        use_device = (not args.no_jax and not args.early_stop and bounded
-                      and ix.thr is not None)
+        use_device = (not args.no_jax and bounded and ix.thr is not None)
         if use_device:
             import jax as _jax
 
@@ -379,7 +379,8 @@ def cmd_query(args):
                 pvalue_scoring=args.pvalue_scoring,
                 report_all=args.report_all,
                 min_diff_frac=args.min_diff_frac,
-                min_score_frac=args.min_score_frac)
+                min_score_frac=args.min_score_frac,
+                early_stop=args.early_stop)
             for batch in _mb(reads, lanes=args.lanes):
                 for name, (pmls, cell, cols) in zip(batch.names,
                                                     eng.query_batch(batch)):

@@ -179,13 +179,32 @@ def _fused_color_scan(ci: FusedColorIndex, alphas_t: jax.Array):
     return jnp.concatenate(mls)[:W], jnp.concatenate(colors)[:W]
 
 
+def _early_stop_len(pmls: np.ndarray, L: int) -> int:
+    """Number of processed bases under the reference's early-stop rule:
+    past the read midpoint, every 100 bases, abort when the running PML
+    mean falls below the classification threshold
+    (read_processor.cpp:240-250; scalar ColorEngine in color.py).
+    Scan step t processes read position pos = L-1-t; the check uses
+    p1 = pos - 1 and the PML sum through step t."""
+    if L <= 0:
+        return L
+    csum = np.cumsum(pmls.astype(np.int64))
+    t = np.arange(L)
+    p1 = L - 2 - t
+    chk = (p1 >= 0) & (2 * p1 < L) & (p1 % 100 == 0)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        stop = chk & (csum / np.maximum(L - p1, 1) < UNCLASSIFIED_THRESHOLD)
+    hits = np.flatnonzero(stop)
+    return int(hits[0]) + 1 if len(hits) else L
+
+
 class FusedColorEngine:
     """Batched device multi-class classification."""
 
     def __init__(self, ci: FusedColorIndex, ct: ColorTable,
                  min_match_len: int = 0, pvalue_scoring: bool = False,
                  report_all: bool = False, min_diff_frac: float = 0.05,
-                 min_score_frac: float = 0.0):
+                 min_score_frac: float = 0.0, early_stop: bool = False):
         self.ci = ci
         self.ct = ct
         self.min_match_len = min_match_len
@@ -193,6 +212,7 @@ class FusedColorEngine:
         self.report_all = report_all
         self.min_diff_frac = min_diff_frac
         self.min_score_frac = min_score_frac
+        self.early_stop = early_stop
         di = ct.doc_info
         self.di = di
         C = len(ct.unique_doc_sets)
@@ -225,6 +245,17 @@ class FusedColorEngine:
             L = int(batch.lengths[lane])
             pmls = ml[:L, lane]
             cids = color[:L, lane]
+            if self.early_stop:
+                # lane retirement for unclassified reads (the reference
+                # aborts the read loop, read_processor.cpp:240-250): the
+                # stop point is a pure function of the emitted PML
+                # stream, so the lockstep device scan runs unmasked and
+                # the retirement truncates the emissions afterwards --
+                # bit-equal to the scalar break, with the scan still one
+                # fused gather per base
+                n = _early_stop_len(pmls, L)
+                pmls = pmls[:n]
+                cids = cids[:n]
             cell, rep_colors = self._tally(pmls, cids, L)
             out.append((pmls.tolist(), cell, rep_colors))
         return out

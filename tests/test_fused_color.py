@@ -76,3 +76,31 @@ def test_fused_color_compressed(setup):
     ctc = compress_color_table(ct, take=3)
     _compare(ix, ctc, reads)
     _compare(ix, ctc, reads, report_all=True, min_score_frac=0.1)
+
+
+def test_fused_color_early_stop(setup):
+    """--early-stop lane retirement: the fused engine's truncation of
+    the emitted streams is bit-equal to the scalar engine's loop break
+    (read_processor.cpp:240-250) -- including truncated PML vectors,
+    colors streams, and CSV cells."""
+    ix, runs, ct, reads = setup
+    rng = np.random.default_rng(99)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    long_reads = []
+    for i in range(6):
+        # unclassified: pure random 260-350bp -> stops at p1 in {0, 100}
+        L = int(rng.integers(260, 350))
+        long_reads.append((f"u{i}", rng.choice(bases, size=L).tobytes()))
+    # classified long reads: must NOT stop
+    text_srcs = [seq for _, seq in reads[:4]]
+    for i, s in enumerate(text_srcs):
+        long_reads.append((f"c{i}", (s * 4)[:280]))
+    _compare(ix, ct, long_reads, early_stop=True)
+    # sanity: at least one read actually early-stopped (truncated pml)
+    sc = ColorEngine(ix, ct, early_stop=True)
+    trunc = 0
+    for name, seq in long_reads:
+        pmls, _ = sc.query_pml_multiclass(seq)
+        if len(pmls) < len(seq):
+            trunc += 1
+    assert trunc >= 1

@@ -248,6 +248,30 @@ def read_thresholds_file(path: str) -> np.ndarray:
     return out
 
 
+def _write_u40(vals: np.ndarray, path: str):
+    v = np.asarray(vals, dtype=np.int64)
+    assert int(v.max(initial=0)) < (1 << 40), "value exceeds 5 bytes"
+    raw = np.zeros((len(v), 5), dtype=np.uint8)
+    for b in range(5):
+        raw[:, b] = (v >> (8 * b)) & 0xFF
+    raw.tofile(path)
+
+
+def write_preprocessed(runs: BWTRuns, bwt_file: str):
+    """Persist the BWT+thresholds stage in the reference pipeline's own
+    intermediate formats: `<bwt>.heads` (run head chars), `<bwt>.len`
+    (5-byte run lengths, build_rlbwt movi.cpp:505-559) and
+    `<prefix>.thr_pos` (5-byte thresholds, pfp_thresholds output read by
+    utils.cpp:150-200).  `runs_from_preprocessed` reads these back, so a
+    killed build resumes without recomputing the suffix array -- the
+    launcher's --keep/--skip-pfp stage resume (movi_launcher.cpp:20-30),
+    with artifacts a reference install can consume directly."""
+    runs.heads.astype(np.uint8).tofile(bwt_file + ".heads")
+    _write_u40(runs.lens, bwt_file + ".len")
+    prefix = bwt_file[:-4] if bwt_file.endswith(".bwt") else bwt_file
+    _write_u40(runs.thresholds, prefix + ".thr_pos")
+
+
 def runs_from_preprocessed(bwt_file: str) -> BWTRuns:
     """BWTRuns from the reference pipeline's preprocessed artifacts:
     `<bwt>.heads` + `<bwt>.len` (from `movi rlbwt` / `pfp_thresholds -r`)

@@ -46,6 +46,16 @@ def cmd_build(args):
     os.makedirs(args.index, exist_ok=True)
     t0 = time.time()
     fasta_paths = args.fasta
+    if args.keep:
+        args.keep_ref = True
+    kept_bwt = os.path.join(args.index, "ref.fa.bwt")
+    if (args.resume and not args.bwt_file
+            and os.path.exists(kept_bwt + ".heads")):
+        # stage resume from kept intermediates (the launcher's
+        # --keep/--skip-prepare/--skip-pfp, movi_launcher.cpp:20-30):
+        # skip prepare_ref and the suffix array entirely
+        args.bwt_file = kept_bwt
+        _log(f"resuming from kept intermediates at {kept_bwt}.heads/.len")
     if args.bwt_file:
         # preprocessed path: reuse a pfp_thresholds/rlbwt BWT + .thr_pos
         # (movi build --preprocessed, move_structure_build.cpp:143-202)
@@ -69,6 +79,16 @@ def cmd_build(args):
         runs = build_bwt_runs(ref.text)
         _log(f"BWT: n={len(runs.bwt)} original_r={len(runs.starts)} "
              f"({time.time()-t0:.1f}s)")
+        if args.keep:
+            from .build.suffix import write_preprocessed
+
+            write_preprocessed(runs, kept_bwt)
+            with open(os.path.join(args.index, "ref.fa.doc_offsets"),
+                      "w") as f:
+                for off in ref.doc_offsets:
+                    f.write(f"{off}\n")
+            _log("kept intermediates: ref.fa.bwt.heads/.len + "
+                 "ref.fa.thr_pos (+ ref.fa, doc_offsets)")
 
     t0 = time.time()
     from .constants import MODE_INFO
@@ -1011,6 +1031,14 @@ def main(argv=None):
     b.add_argument("--list", action="store_true")
     b.add_argument("--verify", action="store_true")
     b.add_argument("--keep-ref", action="store_true")
+    b.add_argument("--keep", action="store_true",
+                   help="keep pipeline intermediates in the index dir "
+                        "(ref.fa + reference-format BWT/thresholds), the "
+                        "launcher's --keep (movi_launcher.cpp:20-30)")
+    b.add_argument("--resume", action="store_true",
+                   help="resume from intermediates kept by --keep, "
+                        "skipping prepare_ref and the suffix array "
+                        "(--skip-prepare/--skip-pfp equivalent)")
     b.add_argument("--skip-null", action="store_true")
     b.add_argument("--bound-ff", type=int, default=None)
     b.add_argument("--seed", type=int, default=0)

@@ -101,3 +101,29 @@ def test_cli_multiclass_color_sources(tmp_path):
     assert csv() == want          # from doc_sets.bin indices
     os.remove(os.path.join(idx, "doc_sets.bin"))
     assert csv() == want          # from doc_sets_flat.bin
+
+
+@requires_ref_data
+def test_cli_build_keep_resume(tmp_path):
+    """build --keep persists the pipeline intermediates in reference
+    formats; build --resume skips prepare_ref + suffix array and yields
+    a bit-identical index (the launcher's --keep/--skip-* stage resume,
+    movi_launcher.cpp:20-30)."""
+    idx = str(tmp_path / "idx")
+    r = _run(["build", "--fasta", os.path.join(REF_DATA, "ref.fasta"),
+              "--index", idx, "--skip-null", "--keep"])
+    assert r.returncode == 0, r.stderr
+    for fn in ("ref.fa", "ref.fa.bwt.heads", "ref.fa.bwt.len",
+               "ref.fa.thr_pos", "ref.fa.doc_offsets"):
+        assert os.path.exists(os.path.join(idx, fn)), fn
+    import numpy as np
+    first = dict(np.load(os.path.join(idx, "index.npz")))
+    os.remove(os.path.join(idx, "index.npz"))
+    # resume: no --fasta needed, SA is not recomputed
+    r = _run(["build", "--index", idx, "--skip-null", "--resume"])
+    assert r.returncode == 0, r.stderr
+    assert "resuming from kept intermediates" in r.stderr
+    second = dict(np.load(os.path.join(idx, "index.npz")))
+    assert sorted(first) == sorted(second)
+    for k in first:
+        assert np.array_equal(first[k], second[k]), k

@@ -29,13 +29,18 @@ def pml_stdout_lines(name: str, pmls_processing_order: Sequence[int]) -> List[st
 class BPFWriter:
     """Base Profile Format writer (utils.hpp:63-86)."""
 
-    def __init__(self, path: str, entry_size: int = 16):
+    def __init__(self, path: str, entry_size: int = 16,
+                 write_header: bool = True):
+        """write_header=False emits a headerless record stream -- the
+        per-host output shards of the multi-host runner, which host 0
+        concatenates under one header (parallel/multihost.py)."""
         assert entry_size in (16, 32, 64)
         self.entry_size = entry_size
         self.f = open(path, "wb")
-        major, minor, patch = BPF_VERSION
-        self.f.write(struct.pack("<IBBBBH2x", BPF_MAGIC, major, minor, patch,
-                                 entry_size, 0))
+        if write_header:
+            major, minor, patch = BPF_VERSION
+            self.f.write(struct.pack("<IBBBBH2x", BPF_MAGIC, major, minor,
+                                     patch, entry_size, 0))
 
     def write_read(self, name: str, values: Sequence[int]):
         """Per-read record: u16 namelen, name, u64 count, values[]

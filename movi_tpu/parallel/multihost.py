@@ -1,10 +1,16 @@
-"""Multi-host deployment helpers.
+"""Multi-host deployment: byte-range read sharding, per-host querying,
+cross-process counter reduction, and host-0 output merging.
 
-The reference is single-process (OpenMP).  movi_tpu scales across hosts
-with jax.distributed: every host runs the same program, streams its own
-shard of the read file, and queries against a replicated (or
-model-sharded) index.  Per-read outputs are written host-locally; only
-aggregate statistics cross hosts (one psum at the end).
+The reference is single-process: OpenMP threads share one BatchLoader
+under a critical section and write one output file
+(movi.cpp:274-386).  movi_tpu scales across hosts with jax.distributed:
+every host runs the same program, parses only its own BYTE RANGE of the
+read file (no shared reader, no whole-file re-parse per host), queries
+against a replicated index, and writes its output shard.  Aggregate
+classification counters cross hosts via a device all-reduce; host 0
+then concatenates the shards into the reference's single-file formats
+-- byte-identical to a 1-host run (the distributed analogue of the
+OpenMP merge semantics).
 
 Launch on each host:
 
@@ -15,7 +21,8 @@ Launch on each host:
 from __future__ import annotations
 
 import argparse
-from typing import Iterator, List, Tuple
+import os
+from typing import Iterator, List, Optional, Tuple
 
 
 def initialize(coordinator: str, num_hosts: int, host_id: int):
@@ -27,33 +34,204 @@ def initialize(coordinator: str, num_hosts: int, host_id: int):
     return jax
 
 
+def _find_record_start(f, limit: int, fastq: bool) -> int:
+    """Scan forward from the current position to the next record
+    boundary: a '>' header line (FASTA), or an '@' header line whose
+    second successor line starts with '+' (FASTQ; the lookahead
+    disambiguates '@' inside quality strings)."""
+    pos = f.tell()
+    if pos == 0:
+        return 0
+    f.readline()  # finish the (possibly partial) current line
+    while True:
+        line_pos = f.tell()
+        if line_pos >= limit:
+            return limit
+        line = f.readline()
+        if not line:
+            return limit
+        if not fastq:
+            if line.startswith(b">"):
+                return line_pos
+        elif line.startswith(b"@"):
+            save = f.tell()
+            f.readline()
+            plus = f.readline()
+            f.seek(save)
+            if plus.startswith(b"+"):
+                return line_pos
+
+
+def byte_range_reads(path: str, num_hosts: int, host_id: int
+                     ) -> Iterator[Tuple[str, bytes]]:
+    """Parse only this host's byte range of a plain FASTA/FASTQ file.
+    Ranges are [k*size/N, (k+1)*size/N) rounded to record boundaries, so
+    concatenating the hosts' outputs in host order restores the file
+    order.  Gzipped inputs cannot be byte-addressed: falls back to
+    round-robin over a full parse."""
+    if path.endswith(".gz"):
+        from ..io.fastx import iter_fastx
+
+        yield from shard_reads(iter_fastx(path), num_hosts, host_id)
+        return
+    size = os.path.getsize(path)
+    lo = size * host_id // num_hosts
+    hi = size * (host_id + 1) // num_hosts
+    with open(path, "rb") as f:
+        head = f.read(1)
+        fastq = head == b"@"
+        f.seek(lo)
+        start = _find_record_start(f, size, fastq)
+        if host_id == num_hosts - 1:
+            end = size
+        else:
+            f.seek(hi)
+            end = _find_record_start(f, size, fastq)
+        if start >= end:
+            return
+        f.seek(start)
+        if fastq:
+            while f.tell() < end:
+                name = f.readline().rstrip()
+                seq = f.readline().rstrip()
+                f.readline()  # '+'
+                f.readline()  # quality
+                if name:
+                    yield name[1:].split()[0].decode(), seq
+        else:
+            name = None
+            seq_parts: List[bytes] = []
+            while f.tell() < end:
+                line = f.readline()
+                if not line:
+                    break
+                if line.startswith(b">"):
+                    if name is not None:
+                        yield name, b"".join(seq_parts)
+                    name = line[1:].rstrip().split()[0].decode()
+                    seq_parts = []
+                else:
+                    seq_parts.append(line.rstrip())
+            # the record spanning `end` belongs to this shard: finish it
+            while True:
+                line = f.readline()
+                if not line or line.startswith(b">"):
+                    break
+                seq_parts.append(line.rstrip())
+            if name is not None:
+                yield name, b"".join(seq_parts)
+
+
 def shard_reads(reads: Iterator[Tuple[str, bytes]], num_hosts: int,
                 host_id: int) -> Iterator[Tuple[str, bytes]]:
-    """Round-robin read sharding across hosts (each host parses the file
-    and keeps every num_hosts-th read; for production use a byte-range
-    splitter instead)."""
+    """Round-robin fallback for non-seekable (gz) inputs."""
     for i, r in enumerate(reads):
         if i % num_hosts == host_id:
             yield r
 
 
-def merged_found_count(local_found: int) -> int:
-    """psum of per-host classification counters over all hosts."""
-    import jax
-    import jax.numpy as jnp
-    from jax.sharding import Mesh, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+def merged_counters(local: "np.ndarray") -> "np.ndarray":
+    """Sum an int64 counter vector across all jax.distributed processes
+    (the cross-host analogue of the reference's `#pragma omp atomic`
+    counters, read_processor.cpp:675-717)."""
+    import numpy as np
+    from jax.experimental import multihost_utils
+
+    gathered = multihost_utils.process_allgather(
+        np.asarray(local, dtype=np.int64))
+    return np.asarray(gathered).reshape(-1, len(local)).sum(axis=0)
+
+
+def barrier(name: str = "movi-multihost"):
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(name)
+
+
+def merge_parts(out_path: str, part_paths: List[str],
+                header: bytes = b"", cleanup: bool = True):
+    """Concatenate per-host output shards (host order = file order under
+    byte-range sharding) into the reference's single-file format."""
+    with open(out_path, "wb") as out:
+        out.write(header)
+        for p in part_paths:
+            with open(p, "rb") as f:
+                while True:
+                    chunk = f.read(1 << 20)
+                    if not chunk:
+                        break
+                    out.write(chunk)
+    if cleanup:
+        for p in part_paths:
+            os.remove(p)
+
+
+def bpf_header(entry_size: int = 16) -> bytes:
+    import struct
+
+    from ..io.outputs import BPF_MAGIC, BPF_VERSION
+
+    return struct.pack("<IBBBBH2x", BPF_MAGIC, *BPF_VERSION, entry_size, 0)
+
+
+def run_sharded_query(index_dir: str, read_path: str, num_hosts: int,
+                      host_id: int, qt: str = "pml", lanes: int = 8192,
+                      classify: bool = False, bin_width: int = 150,
+                      out_prefix: Optional[str] = None) -> dict:
+    """One host's share of a distributed PML/ZML query + optional binary
+    classification.  Writes `<out>.bpf.part<k>` (+ `.report.part<k>`),
+    reduces (found, total) across processes, and merges on host 0.
+    Returns {"found": ..., "total": ..., "out": path} on every host."""
     import numpy as np
 
-    devs = np.array(jax.devices())
-    mesh = Mesh(devs, ("data",))
+    from ..api import Index
+    from ..io.outputs import BPFWriter
 
-    @lambda f: shard_map(f, mesh=mesh, in_specs=P("data"), out_specs=P())
-    def total(x):
-        return jax.lax.psum(x.sum(), "data")
+    index = Index.load(index_dir)
+    reads = list(byte_range_reads(read_path, num_hosts, host_id))
+    out = (index.query_pml(reads, lanes=lanes) if qt == "pml"
+           else index.query_zml(reads, lanes=lanes))
 
-    per_dev = jnp.zeros((len(devs),), jnp.int32).at[0].set(local_found)
-    return int(total(per_dev))
+    prefix = out_prefix or f"{read_path}.{index.ix.mode}.{qt}"
+    part = f"{prefix}.bpf.part{host_id}"
+    with BPFWriter(part, write_header=False) as w:
+        for name, pmls in out:
+            w.write_read(name, pmls)
+
+    found = 0
+    report_part = None
+    if classify:
+        from ..classify import (Classifier, EmpNullDatabase,
+                                format_report_line)
+
+        db = EmpNullDatabase.load(
+            os.path.join(index_dir, f"movi.{qt}.nulldb"))
+        cls = Classifier(db, bin_width=bin_width)
+        report_part = f"{prefix}.report.part{host_id}"
+        with open(report_part, "w") as f:
+            for name, pmls in out:
+                ok, avg, above, below = cls.classify(pmls)
+                found += int(ok)
+                f.write(format_report_line(name, ok, avg, above, below)
+                        + "\n")
+
+    totals = merged_counters(np.array([found, len(out)]))
+    barrier("movi-query-done")
+
+    if host_id == 0:
+        merge_parts(prefix + ".bpf",
+                    [f"{prefix}.bpf.part{k}" for k in range(num_hosts)],
+                    header=bpf_header())
+        if classify:
+            from ..classify import format_report_header
+
+            hdr = (format_report_header(cls.max_value_thr) + "\n").encode()
+            merge_parts(prefix + ".report",
+                        [f"{prefix}.report.part{k}"
+                         for k in range(num_hosts)], header=hdr)
+    barrier("movi-merge-done")
+    return {"found": int(totals[0]), "total": int(totals[1]),
+            "out": prefix + ".bpf"}
 
 
 def main(argv=None):
@@ -64,22 +242,27 @@ def main(argv=None):
     p.add_argument("--index", required=True)
     p.add_argument("--read", required=True)
     p.add_argument("--pml", action="store_true")
+    p.add_argument("--zml", action="store_true")
+    p.add_argument("--classify", action="store_true")
+    p.add_argument("--bin-width", type=int, default=150)
     p.add_argument("--lanes", type=int, default=32768)
+    p.add_argument("--out-prefix", default=None)
+    p.add_argument("--platform", default=None,
+                   help="force a jax platform (e.g. cpu for tests)")
     args = p.parse_args(argv)
 
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
     initialize(args.coordinator, args.num_hosts, args.host_id)
-
-    from ..api import Index
-    from ..io.fastx import iter_fastx
-    from ..io.outputs import BPFWriter
-
-    index = Index.load(args.index)
-    reads = list(shard_reads(iter_fastx(args.read), args.num_hosts,
-                             args.host_id))
-    out = index.query_pml(reads, lanes=args.lanes)
-    with BPFWriter(f"{args.read}.host{args.host_id}.pml.bpf") as w:
-        for name, pmls in out:
-            w.write_read(name, pmls)
+    res = run_sharded_query(
+        args.index, args.read, args.num_hosts, args.host_id,
+        qt="zml" if args.zml else "pml", lanes=args.lanes,
+        classify=args.classify, bin_width=args.bin_width,
+        out_prefix=args.out_prefix)
+    if args.host_id == 0:
+        print(f"found {res['found']}/{res['total']} -> {res['out']}")
 
 
 if __name__ == "__main__":

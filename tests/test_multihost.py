@@ -1,0 +1,130 @@
+"""Multi-host runtime: byte-range read sharding and a real 2-process
+jax.distributed run whose merged outputs are byte-identical to 1 host
+(the distributed analogue of the reference's OpenMP merge,
+movi.cpp:274-386)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from conftest import REF_DATA, requires_ref_data
+
+from movi_tpu.parallel.multihost import byte_range_reads
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _write_fastq(path, reads):
+    with open(path, "w") as f:
+        for i, (name, seq) in enumerate(reads):
+            # quality lines intentionally starting with '@' exercise the
+            # record-boundary disambiguation of _find_record_start
+            q0 = "@" if i % 3 == 0 else "I"
+            f.write(f"@{name}\n{seq}\n+\n{q0 * len(seq)}\n")
+
+
+def _mkreads(n, rng):
+    bases = "ACGT"
+    return [(f"r{i}", "".join(rng.choice(list(bases),
+                                         size=int(rng.integers(40, 90)))))
+            for i in range(n)]
+
+
+@pytest.mark.parametrize("num_hosts", [1, 2, 3, 4])
+def test_byte_range_fastq(tmp_path, num_hosts):
+    rng = np.random.default_rng(3)
+    reads = _mkreads(23, rng)
+    path = str(tmp_path / "reads.fastq")
+    _write_fastq(path, reads)
+    got = []
+    for h in range(num_hosts):
+        got.extend((n, s.decode()) for n, s in
+                   byte_range_reads(path, num_hosts, h))
+    assert got == reads
+
+
+@pytest.mark.parametrize("num_hosts", [1, 2, 3])
+def test_byte_range_fasta_multiline(tmp_path, num_hosts):
+    rng = np.random.default_rng(4)
+    reads = _mkreads(17, rng)
+    path = str(tmp_path / "reads.fa")
+    with open(path, "w") as f:
+        for name, seq in reads:
+            f.write(f">{name}\n")
+            for k in range(0, len(seq), 25):   # multi-line records
+                f.write(seq[k:k + 25] + "\n")
+    got = []
+    for h in range(num_hosts):
+        got.extend((n, s.decode()) for n, s in
+                   byte_range_reads(path, num_hosts, h))
+    assert got == reads
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _launch(args):
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    return subprocess.Popen(
+        [sys.executable, "-m", "movi_tpu.parallel.multihost"] + args,
+        cwd=REPO, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE, text=True)
+
+
+@requires_ref_data
+def test_two_process_distributed_merge(tmp_path):
+    """Spawn a real 2-process jax.distributed CPU run; the merged .bpf
+    and .report must be byte-identical to a 1-host run."""
+    # build a small index + nulldb once (subprocess, scalar path)
+    idx = str(tmp_path / "idx")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "movi_tpu.cli", "build",
+         "--fasta", os.path.join(REF_DATA, "ref.fasta"), "--index", idx],
+        cwd=REPO, env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+
+    reads = os.path.join(REF_DATA, "sample.fastq")
+
+    def run(num_hosts, tag):
+        prefix = str(tmp_path / tag)
+        port = _free_port()
+        procs = [
+            _launch(["--coordinator", f"127.0.0.1:{port}",
+                     "--num-hosts", str(num_hosts), "--host-id", str(h),
+                     "--index", idx, "--read", reads, "--pml",
+                     "--classify", "--platform", "cpu",
+                     "--out-prefix", prefix])
+            for h in range(num_hosts)
+        ]
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            assert p.returncode == 0, err
+        return prefix
+
+    p1 = run(1, "one")
+    p2 = run(2, "two")
+    with open(p1 + ".bpf", "rb") as f:
+        b1 = f.read()
+    with open(p2 + ".bpf", "rb") as f:
+        b2 = f.read()
+    assert b1 == b2
+    with open(p1 + ".report") as f:
+        r1 = f.read()
+    with open(p2 + ".report") as f:
+        r2 = f.read()
+    assert r1 == r2
+    assert len(r1.splitlines()) > 1
+    # shards were cleaned up after the merge
+    assert not os.path.exists(p2 + ".bpf.part0")

@@ -32,7 +32,10 @@ import numpy as np
 
 
 def _log(msg: str):
-    print(f"[movi-tpu] {msg}", file=sys.stderr)
+    """Timestamped INFO line (commons.hpp:20-27 macro equivalent)."""
+    from .commons import info
+
+    info(msg)
 
 
 def cmd_build(args):
@@ -666,10 +669,13 @@ def cmd_query(args):
             _log(f"wrote {args.read}.{ix.mode}.{qt}"
                  ".{costs,scans,fastforwards}")
         else:
+            from .commons import read_progress
+
             eng = ScalarEngine(
                 ix, ignore_illegal_chars=args.ignore_illegal_chars)
             sa_results = []
-            for name, seq in reads:
+            for read_i, (name, seq) in enumerate(reads):
+                read_progress(read_i)  # movi.cpp:343-345
                 if qt == "pml":
                     if args.sa_entries:
                         pmls, sas = eng.query_pml(

@@ -1,0 +1,326 @@
+"""Paired-base PML engine: ONE 16-byte gather per TWO bases.
+
+The fused engine (engine/fused.py) is at the gather roofline: one
+8-byte record per base, ~90 M rows/s from HBM on one v5e chip
+(~90 Mbases/s).  The measured gather rate is per ROW, nearly
+independent of row width (84 M rows/s at 16 B) -- so the only way past
+the roofline is fewer gathers per base.  This engine precomputes the
+TWO-STEP transition for every (run, char1, char2) and packs it into one
+128-bit record, halving gathers per base: ~84 M rows/s * 2 =
+~170 Mbases/s projected.
+
+Why two steps compose into 128 bits: a single PML step branches on ONE
+offset comparison (LF fast-forward `fa+x >= fb`, or reposition
+`x >= threshold`), and each branch is either affine in the offset with
+slope 1 (the LF path) or a constant state (the reposition path, thanks
+to the LF-adjacency anchor trick of engine/fused.py).  Composing two
+steps therefore yields: one step-1 breakpoint T1 selecting a branch,
+and per branch a second comparison of the SAME x against a precomposed
+constant -- the step-2 decode collapses to the standard one-step decode
+with precomposed fields.  Per (run, a1, a2):
+
+  header     T1 (13-bit biased) + match1 bit
+  per branch a 54-bit descriptor, kind in {LF2, MIS2, CONST}:
+    LF2   (both steps LF-like): off0 = B + x; ff = off0 >= C;
+          next = (A + ff, off0 - ff*C)        B = fa1(+/-fb1)+fa2, C = cum
+    MIS2  (step 2 repositions): down = x >= B (B = thr2 - c1, clamped);
+          anchor decode exactly like the one-step mismatch path
+          (A = anchor run, C = anchor offset, flags = bump/dollar bits)
+    CONST (step 1 repositioned, so step 2 resolves at build time):
+          next = (A, C)
+
+Packing (4 int32 words; run ids are 24-bit -- the engine asserts
+r < 2^24, its capacity envelope at 16 B * (sigma+1)^2 per run):
+
+  w0: T1+4096 (bits 0-12) | match1 (13) | A_lo>>16 (14-21) | A_hi>>16 (22-29)
+  w1: B_lo+4096 (0-12) | C_lo (13-24) | kind_lo (25-26) | flags_lo (27-29)
+  w2: same fields for the hi branch
+  w3: A_lo & 0xFFFF (0-15) | A_hi & 0xFFFF (16-31)
+
+Memory: (sigma+1)^2 * 16 B per run (400 B/run for DNA) -- 10x the fused
+engine.  This is the SPEED layout for indexes up to ~2e7 runs on a
+16 GB chip; engine/fused.py remains the capacity layout.  Bit-exact
+against ScalarEngine (tests/test_fused2.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .fused import (BIT_BUMP, BIT_DOLLAR_DN, BIT_DOLLAR_UP, BIT_MATCH,
+                    BIT_USE_LF, FA_MASK, FB_MASK, FB_SHIFT, FusedIndex)
+from ..io.fastx import ReadBatch
+
+KIND_LF2 = 0
+KIND_MIS2 = 1
+KIND_CONST = 2
+
+_BIAS = 4096          # 13-bit biased signed fields (T1, B)
+MAX_RUNS = 1 << 24    # A fields are 24-bit
+
+
+@dataclass
+class Fused2Index:
+    r: int
+    sigma: int
+    records: jax.Array          # int32 [r*(sigma+1)^2, 4]
+    start_idx: int
+    start_offset: int
+    p_dollar: tuple
+    alphamap_query: np.ndarray
+
+
+jax.tree_util.register_dataclass(
+    Fused2Index, data_fields=["records", "alphamap_query"],
+    meta_fields=["r", "sigma", "start_idx", "start_offset", "p_dollar"])
+
+
+def _unpack1(fi: FusedIndex):
+    """Split the one-step records into field arrays [r, slots]."""
+    slots = fi.sigma + 1
+    rec = np.asarray(fi.records).astype(np.int64).reshape(fi.r, slots, 2)
+    w0, w1 = rec[:, :, 0], rec[:, :, 1]
+    return dict(
+        m=w0, fa=w1 & FA_MASK, fb=(w1 >> FB_SHIFT) & FB_MASK,
+        bump=(w1 >> BIT_BUMP) & 1, match=(w1 >> BIT_MATCH) & 1,
+        use_lf=(w1 >> BIT_USE_LF) & 1, d_up=(w1 >> BIT_DOLLAR_UP) & 1,
+        d_dn=(w1 >> BIT_DOLLAR_DN) & 1)
+
+
+def build_fused2_index(fi: FusedIndex) -> Fused2Index:
+    """Compose the one-step records into two-step records (all numpy,
+    vectorized per (a1, a2) pair over the full run axis)."""
+    r, sigma = fi.r, fi.sigma
+    assert r < MAX_RUNS, (
+        f"paired records hold 24-bit run ids; r={r} exceeds {MAX_RUNS} "
+        f"(use the one-step fused engine)")
+    slots = sigma + 1
+    f1 = _unpack1(fi)
+    pd_run, pd_off = fi.p_dollar
+
+    w0 = np.zeros((r, slots, slots), dtype=np.int64)
+    w1 = np.zeros_like(w0)
+    w2 = np.zeros_like(w0)
+    w3 = np.zeros_like(w0)
+
+    def step2_fields(i_b, a2):
+        """One-step record fields of R[i_b, a2] (i_b clipped: unreachable
+        branches may carry out-of-range ids; their slots are never
+        selected at query time)."""
+        i = np.clip(i_b, 0, r - 1)
+        return {k: v[i, a2] for k, v in f1.items()}
+
+    def descriptor(slope_mask, i_b, c_b, y_b, a2):
+        """(A, B, C, kind, flags) for one branch: slope-1 branches carry
+        a composed LF2/MIS2 descriptor, constant branches resolve step 2
+        at build time."""
+        g = step2_fields(i_b, a2)
+        # slope branch, step2 LF-like
+        A_lf = g["m"]
+        B_lf = c_b + g["fa"]
+        C_lf = g["fb"]
+        fl_lf = g["match"]
+        # slope branch, step2 reposition
+        A_mis = g["m"]
+        B_mis = np.clip(g["fb"] - c_b, -_BIAS, _BIAS - 1)
+        C_mis = g["fa"]
+        fl_mis = g["bump"] | (g["d_up"] << 1) | (g["d_dn"] << 2)
+        # constant branch: evaluate step 2 on the concrete (i_b, y_b)
+        off0 = g["fa"] + y_b
+        ff = (off0 >= g["fb"]).astype(np.int64)
+        j_lf = g["m"] + ff
+        d_lf = off0 - ff * g["fb"]
+        dn = y_b >= g["fb"]
+        j_up = np.where(g["d_up"] == 1, pd_run, g["m"])
+        d_up = np.where(g["d_up"] == 1, pd_off, g["fa"])
+        j_dn = np.where(g["d_dn"] == 1, pd_run,
+                        g["m"] + g["bump"])
+        d_dn = np.where(g["d_dn"] == 1, pd_off,
+                        np.where(g["bump"] == 1, 0, g["fa"] + 1))
+        j_c = np.where(g["use_lf"] == 1, j_lf, np.where(dn, j_dn, j_up))
+        d_c = np.where(g["use_lf"] == 1, d_lf, np.where(dn, d_dn, d_up))
+        fl_c = np.where(g["use_lf"] == 1, g["match"], 0)
+
+        lf2 = slope_mask & (g["use_lf"] == 1)
+        mis2 = slope_mask & (g["use_lf"] == 0)
+        A = np.where(lf2, A_lf, np.where(mis2, A_mis, j_c))
+        B = np.where(lf2, B_lf, np.where(mis2, B_mis, 0))
+        C = np.where(lf2, C_lf, np.where(mis2, C_mis, d_c))
+        kind = np.where(lf2, KIND_LF2, np.where(mis2, KIND_MIS2, KIND_CONST))
+        flags = np.where(lf2, fl_lf, np.where(mis2, fl_mis, fl_c))
+        A = np.clip(A, 0, r - 1)   # unreachable consts may be off-range
+        assert int(B.max()) < _BIAS and int(B.min()) >= -_BIAS
+        return A, B, C, kind, flags
+
+    from ..commons import ProgressBar
+
+    bar = ProgressBar(slots, "composing paired step records")
+    for a1 in range(slots):
+        bar.update(a1)
+        m1 = f1["m"][:, a1]
+        fa1 = f1["fa"][:, a1]
+        fb1 = f1["fb"][:, a1]
+        bump1 = f1["bump"][:, a1]
+        match1 = f1["match"][:, a1]
+        use_lf1 = f1["use_lf"][:, a1] == 1
+        du1 = f1["d_up"][:, a1] == 1
+        dd1 = f1["d_dn"][:, a1] == 1
+
+        T1 = np.where(use_lf1, fb1 - fa1, fb1)
+        T1 = np.clip(T1, -_BIAS, _BIAS - 1)
+        # branch states: lo = (x < T1), hi = (x >= T1)
+        i_up = np.where(du1, pd_run, m1)
+        y_up = np.where(du1, pd_off, fa1)
+        i_dn = np.where(dd1, pd_run, m1 + bump1)
+        y_dn = np.where(dd1, pd_off, np.where(bump1 == 1, 0, fa1 + 1))
+        i_lo = np.where(use_lf1, m1, i_up)
+        c_lo = np.where(use_lf1, fa1, 0)
+        y_lo = np.where(use_lf1, 0, y_up)
+        i_hi = np.where(use_lf1, m1 + 1, i_dn)
+        c_hi = np.where(use_lf1, fa1 - fb1, 0)
+        y_hi = np.where(use_lf1, 0, y_dn)
+
+        for a2 in range(slots):
+            Al, Bl, Cl, kl, fl = descriptor(use_lf1, i_lo, c_lo, y_lo, a2)
+            Ah, Bh, Ch, kh, fh = descriptor(use_lf1, i_hi, c_hi, y_hi, a2)
+            w0[:, a1, a2] = ((T1 + _BIAS)
+                             | (match1 << 13)
+                             | ((Al >> 16) << 14)
+                             | ((Ah >> 16) << 22))
+            w1[:, a1, a2] = ((Bl + _BIAS) | (Cl << 13) | (kl << 25)
+                             | (fl << 27))
+            w2[:, a1, a2] = ((Bh + _BIAS) | (Ch << 13) | (kh << 25)
+                             | (fh << 27))
+            w3[:, a1, a2] = (Al & 0xFFFF) | ((Ah & 0xFFFF) << 16)
+
+    bar.done()
+    rec = np.stack([w.reshape(-1) for w in (w0, w1, w2, w3)], axis=1)
+    return Fused2Index(
+        r=r, sigma=sigma,
+        records=jnp.asarray(rec.astype(np.uint32).view(np.int32)),
+        start_idx=fi.start_idx, start_offset=fi.start_offset,
+        p_dollar=fi.p_dollar, alphamap_query=fi.alphamap_query)
+
+
+def fused2_step(records: jax.Array, slots: int, p_dollar, state, a12):
+    """Two PML base steps from a single 16-byte gather.
+    a12 = a1 * slots + a2.  Emits (ml1, ml2)."""
+    idx, offset, ml = state
+    rec = jnp.take(records, idx * (slots * slots) + a12, axis=0)
+    w0 = rec[:, 0]
+    w3 = rec[:, 3]
+    T1 = (w0 & 0x1FFF) - _BIAS
+    match1 = (w0 >> 13) & 1
+    hi = offset >= T1
+    wb = jnp.where(hi, rec[:, 2], rec[:, 1])
+    A = jnp.where(hi,
+                  ((w3 >> 16) & 0xFFFF) | (((w0 >> 22) & 0xFF) << 16),
+                  (w3 & 0xFFFF) | (((w0 >> 14) & 0xFF) << 16))
+    B = (wb & 0x1FFF) - _BIAS
+    C = (wb >> 13) & 0xFFF
+    kind = (wb >> 25) & 3
+    flags = (wb >> 27) & 7
+
+    # LF2: standard bounded-ff decode with precomposed fields
+    off0 = B + offset
+    ff = (off0 >= C).astype(jnp.int32)
+    lf_idx = A + ff
+    lf_off = off0 - ff * C
+
+    # MIS2: one-step mismatch anchor decode
+    pd_run, pd_off = p_dollar
+    bump = flags & 1
+    d_up = (flags >> 1) & 1
+    d_dn = (flags >> 2) & 1
+    down = offset >= B
+    up_run = jnp.where(d_up == 1, pd_run, A)
+    up_off = jnp.where(d_up == 1, pd_off, C)
+    dn_run = jnp.where(d_dn == 1, pd_run, A + bump)
+    dn_off = jnp.where(d_dn == 1, pd_off, jnp.where(bump == 1, 0, C + 1))
+    mis_idx = jnp.where(down, dn_run, up_run)
+    mis_off = jnp.where(down, dn_off, up_off)
+
+    new_idx = jnp.where(kind == KIND_LF2, lf_idx,
+                        jnp.where(kind == KIND_MIS2, mis_idx, A))
+    new_off = jnp.where(kind == KIND_LF2, lf_off,
+                        jnp.where(kind == KIND_MIS2, mis_off, C))
+    match2 = jnp.where(kind == KIND_MIS2, 0, flags & 1)
+    ml1 = jnp.where(match1 == 1, ml + 1, 0)
+    ml2 = jnp.where(match2 == 1, ml1 + 1, 0)
+    return (new_idx, new_off, ml2), (ml1, ml2)
+
+
+@jax.jit
+def _fused2_scan_carry(fi: Fused2Index, a12_t: jax.Array, state):
+    """a12_t: [W2, lanes] combined char pairs; emits ml [2*W2, lanes].
+    Pairs ship as uint8 (a12 <= slots^2-1 = 24 for DNA) and widen ONCE
+    on device -- per-step slicing of sub-int32 xs is ~3x slower."""
+    slots = fi.sigma + 1
+    a12_t = a12_t.astype(jnp.int32)
+
+    def step(st, a):
+        return fused2_step(fi.records, slots, fi.p_dollar, st, a)
+
+    state, (ml1, ml2) = jax.lax.scan(step, state, a12_t)
+    W2, lanes = a12_t.shape
+    ml = jnp.stack([ml1, ml2], axis=1).reshape(2 * W2, lanes)
+    return state, ml
+
+
+class Fused2PMLEngine:
+    """Batched PML at half a gather per base."""
+
+    CHUNK = 1024  # pairs per carried chunk (2048 bases)
+
+    def __init__(self, fi: Fused2Index):
+        self.fi = fi
+
+    def query_batch_device(self, batch: ReadBatch) -> jax.Array:
+        fi = self.fi
+        slots = fi.sigma + 1
+        seqs_rev = batch.seqs[:, ::-1]
+        alphas = fi.alphamap_query[seqs_rev]          # [lanes, W]
+        W = alphas.shape[1]
+        if W % 2:
+            # pad the scan tail (past every read's end) with the
+            # illegal slot; emissions there are discarded per lane
+            alphas = np.concatenate(
+                [alphas, np.full((alphas.shape[0], 1), fi.sigma,
+                                 alphas.dtype)], axis=1)
+        a12 = (alphas[:, 0::2].astype(np.int32) * slots
+               + alphas[:, 1::2])                     # [lanes, W2]
+        assert slots * slots - 1 <= 0xFF, "pair slot exceeds uint8"
+        a12_t = jnp.asarray(np.ascontiguousarray(a12.T).astype(np.uint8))
+        W2, lanes = a12_t.shape
+        state = (jnp.full((lanes,), fi.start_idx, jnp.int32),
+                 jnp.full((lanes,), fi.start_offset, jnp.int32),
+                 jnp.zeros((lanes,), jnp.int32))
+        if W2 <= self.CHUNK:
+            _, ml = _fused2_scan_carry(self.fi, a12_t, state)
+            return ml[:W]
+        pad = (-W2) % self.CHUNK
+        if pad:
+            illegal = fi.sigma * slots + fi.sigma
+            a12_t = jnp.concatenate(
+                [a12_t, jnp.full((pad, lanes), illegal, a12_t.dtype)])
+        mls = []
+        for c0 in range(0, W2 + pad, self.CHUNK):
+            state, ml = _fused2_scan_carry(
+                self.fi, jax.lax.slice_in_dim(a12_t, c0, c0 + self.CHUNK),
+                state)
+            mls.append(ml)
+        return jnp.concatenate(mls)[:W]
+
+    def query_batch(self, batch: ReadBatch) -> List[List[int]]:
+        ml = np.asarray(self.query_batch_device(batch))
+        out = []
+        for lane in range(batch.lanes):
+            L = int(batch.lengths[lane])
+            out.append(ml[:L, lane].tolist())
+        return out

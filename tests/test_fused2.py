@@ -1,0 +1,93 @@
+"""Paired-base PML engine (engine/fused2.py): bit-exact vs scalar."""
+
+import numpy as np
+import pytest
+
+from movi_tpu.build.suffix import build_bwt_runs
+from movi_tpu.cpu_ref.scalar import ScalarEngine
+from movi_tpu.engine.fused import build_fused_index
+from movi_tpu.engine.fused2 import Fused2PMLEngine, build_fused2_index
+from movi_tpu.index.structure import build_move_index
+from movi_tpu.io.fastx import make_batches
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(47)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    text = rng.choice(bases, size=5000).astype(np.uint8)
+    ix = build_move_index(build_bwt_runs(text), "regular-thresholds",
+                         bound_ff=1)
+    fi = build_fused_index(ix)
+    return text, ix, ScalarEngine(ix), Fused2PMLEngine(build_fused2_index(fi))
+
+
+def _reads(rng, text, count=60):
+    reads = []
+    for i in range(count):
+        L = int(rng.integers(3, 70))
+        s = int(rng.integers(0, len(text) - L))
+        seq = text[s : s + L].copy()
+        if rng.random() < 0.6:
+            pos = rng.integers(0, L, size=max(1, L // 8))
+            seq[pos] = rng.choice(np.frombuffer(b"ACGTN", np.uint8),
+                                  size=len(pos))
+        reads.append((f"r{i}", seq.tobytes()))
+    return reads
+
+
+def test_fused2_pml(setup):
+    text, ix, sc, eng = setup
+    reads = _reads(np.random.default_rng(1), text)
+    batch = next(make_batches(reads, lanes=len(reads)))
+    got = eng.query_batch(batch)
+    for i, (name, seq) in enumerate(reads):
+        assert got[i] == sc.query_pml(seq), name
+
+
+def test_fused2_odd_and_long(setup):
+    """Odd read lengths (tail pad) and reads crossing the carried-chunk
+    boundary."""
+    text, ix, sc, eng = setup
+    rng = np.random.default_rng(9)
+    reads = []
+    for i, L in enumerate([1, 2, 3, 2047, 2048, 2049, 4097]):
+        L = min(L, len(text) - 1)
+        s = int(rng.integers(0, len(text) - L))
+        seq = np.tile(text[s : s + L], 2)[:L]
+        reads.append((f"L{i}", seq.tobytes()))
+    batch = next(make_batches(reads, lanes=len(reads)))
+    old_chunk = Fused2PMLEngine.CHUNK
+    Fused2PMLEngine.CHUNK = 512
+    try:
+        got = eng.query_batch(batch)
+    finally:
+        Fused2PMLEngine.CHUNK = old_chunk
+    for i, (name, seq) in enumerate(reads):
+        assert got[i] == sc.query_pml(seq), name
+
+
+def test_fused2_pml_golden(setup):
+    import os
+    from conftest import REF_DATA, requires_ref_data
+    from movi_tpu.build.prepare_ref import prepare_ref
+    from movi_tpu.io.fastx import iter_fastx
+    from movi_tpu.io.outputs import pml_stdout_lines
+
+    golden = os.path.join(REF_DATA, "sample.fastq.pmls.sorted")
+    if not os.path.exists(golden):
+        pytest.skip("reference tests_data not mounted")
+    ref = prepare_ref(os.path.join(REF_DATA, "ref.fasta"))
+    ix = build_move_index(build_bwt_runs(ref.text), "regular-thresholds",
+                         bound_ff=1)
+    eng = Fused2PMLEngine(build_fused2_index(build_fused_index(ix)))
+    reads = list(iter_fastx(os.path.join(REF_DATA, "sample.fastq")))
+    lines = []
+    for batch in make_batches(reads, lanes=64):
+        out = eng.query_batch(batch)
+        for name, pmls in zip(batch.names, out):
+            lines.extend(pml_stdout_lines(name, pmls))
+    got = sorted(lines, key=str.encode)
+    with open(golden) as f:
+        want = f.read().splitlines()
+    assert got == want

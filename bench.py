@@ -98,6 +98,51 @@ def tpu_rate(fi, reads, reps):
     return lanes * read_len / dt
 
 
+def tpu_rate_paired(f2, reads, reps):
+    """Timed paired-record (fused2) throughput: one 16 B gather per two
+    bases (engine/fused2.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from movi_tpu.engine.fused2 import fused2_step
+
+    slots = f2.sigma + 1
+    lanes, read_len = reads.shape
+    alphas = f2.alphamap_query[reads[:, ::-1]]
+    if read_len % 2:
+        alphas = np.concatenate(
+            [alphas, np.full((lanes, 1), f2.sigma, alphas.dtype)], axis=1)
+    a12 = alphas[:, 0::2].astype(np.int32) * slots + alphas[:, 1::2]
+    a12_t = jnp.asarray(np.ascontiguousarray(a12.T).astype(np.uint8))
+
+    @jax.jit
+    def run_reps(records, a12_t):
+        a12_32 = a12_t.astype(jnp.int32)
+
+        def onebatch(k, acc):
+            st = (jnp.full((lanes,), f2.start_idx, jnp.int32),
+                  jnp.full((lanes,), f2.start_offset, jnp.int32),
+                  jnp.zeros((lanes,), jnp.int32))
+
+            def step(s, a):
+                return fused2_step(records, slots, f2.p_dollar, s, a)
+
+            a0 = jnp.where(jnp.arange(lanes) == 0,
+                           (a12_32[0] + k) % (slots * slots), a12_32[0])
+            st, (ml1, ml2) = jax.lax.scan(
+                step, st, jnp.concatenate([a0[None], a12_32[1:]]))
+            return (acc + ml1.astype(jnp.int64).sum()
+                    + ml2.astype(jnp.int64).sum())
+
+        return jax.lax.fori_loop(0, reps, onebatch, jnp.int64(0))
+
+    _ = np.asarray(run_reps(f2.records, a12_t))  # compile + warm + transfer
+    t0 = time.time()
+    _ = int(np.asarray(run_reps(f2.records, a12_t)))
+    dt = (time.time() - t0) / reps
+    return lanes * read_len / dt
+
+
 def build_small():
     from movi_tpu.build.prepare_ref import prepare_ref
     from movi_tpu.build.suffix import build_bwt_runs
@@ -203,6 +248,18 @@ def main():
         out["baseline_measured_bases_per_sec"] = round(baseline, 1)
 
     hbm_rate = tpu_rate(fi_hbm, reads_hbm, REPS_HBM)
+    out["hbm_single_gather_bases_per_sec"] = round(hbm_rate, 1)
+
+    if os.environ.get("BENCH_PAIRED", "1") != "0":
+        # paired 16 B records: one gather per TWO bases (the speed
+        # layout; 400 B/run).  Takes the headline when faster.
+        from movi_tpu.engine.fused2 import build_fused2_index
+
+        f2 = build_fused2_index(fi_hbm)
+        paired_rate = tpu_rate_paired(f2, reads_hbm, REPS_HBM)
+        out["hbm_paired_gather_bases_per_sec"] = round(paired_rate, 1)
+        out["paired_record_bytes_per_row"] = 16 * (f2.sigma + 1) ** 2
+        hbm_rate = max(hbm_rate, paired_rate)
 
     fi_small, text_small = build_small()
     reads_small = make_reads(text_small, LANES, READ_LEN, seed=42)

@@ -625,8 +625,16 @@ def cmd_query(args):
             cache = os.path.join(args.index, "fused_records.npz")
             fi = (load_fused_index(cache) if os.path.exists(cache)
                   else build_fused_index(ix))
-            eng = FusedPMLEngine(fi)
-            _log("using the fused single-gather engine")
+            if args.paired_records:
+                from .engine.fused2 import (Fused2PMLEngine,
+                                            build_fused2_index)
+
+                eng = Fused2PMLEngine(build_fused2_index(fi))
+                _log("using the paired-record engine "
+                     "(one gather per two bases)")
+            else:
+                eng = FusedPMLEngine(fi)
+                _log("using the fused single-gather engine")
         elif qt in ("count", "zml") and bounded:
             from .engine.fused_search import (FusedCountEngine,
                                               FusedZMLEngine,
@@ -1103,6 +1111,10 @@ def main(argv=None):
     q.add_argument("--platform", default=None,
                    help="jax platform override (cpu/tpu)")
     q.add_argument("--lanes", type=int, default=8192)
+    q.add_argument("--paired-records", action="store_true",
+                   help="PML with 16 B two-base records (one gather per "
+                        "two bases; ~10x index memory -- the speed "
+                        "layout for indexes up to ~2e7 runs)")
     q.add_argument("--bin-width", type=int, default=150)
     q.add_argument("--out-file", "-o", default="")
     q.add_argument("--rpml", action="store_true",

@@ -81,39 +81,26 @@ jax.tree_util.register_dataclass(
     meta_fields=["r", "sigma", "start_idx", "start_offset", "p_dollar"])
 
 
-def _unpack1(fi: FusedIndex):
-    """Split the one-step records into field arrays [r, slots]."""
-    slots = fi.sigma + 1
-    rec = np.asarray(fi.records).astype(np.int64).reshape(fi.r, slots, 2)
-    w0, w1 = rec[:, :, 0], rec[:, :, 1]
-    return dict(
-        m=w0, fa=w1 & FA_MASK, fb=(w1 >> FB_SHIFT) & FB_MASK,
-        bump=(w1 >> BIT_BUMP) & 1, match=(w1 >> BIT_MATCH) & 1,
-        use_lf=(w1 >> BIT_USE_LF) & 1, d_up=(w1 >> BIT_DOLLAR_UP) & 1,
-        d_dn=(w1 >> BIT_DOLLAR_DN) & 1)
-
-
-def build_fused2_index(fi: FusedIndex) -> Fused2Index:
-    """Compose the one-step records into two-step records (all numpy,
-    vectorized per (a1, a2) pair over the full run axis)."""
-    r, sigma = fi.r, fi.sigma
-    assert r < MAX_RUNS, (
-        f"paired records hold 24-bit run ids; r={r} exceeds {MAX_RUNS} "
-        f"(use the one-step fused engine)")
-    slots = sigma + 1
-    f1 = _unpack1(fi)
-    pd_run, pd_off = fi.p_dollar
-
-    w0 = np.zeros((r, slots, slots), dtype=np.int64)
-    w1 = np.zeros_like(w0)
-    w2 = np.zeros_like(w0)
-    w3 = np.zeros_like(w0)
+def _compose_records(records1, r: int, slots: int, p_dollar):
+    """Compose the one-step records [r*slots, 2] into two-step records
+    [r*slots^2, 4] ON DEVICE: the composition is gathers + elementwise
+    selects, so it runs in seconds where a host numpy loop took ~17 min
+    at r = 5M (and the 2 GB table never crosses the host-device link).
+    Returns (records, (b_min, b_max)); the caller asserts the B-field
+    bounds host-side."""
+    pd_run, pd_off = p_dollar
+    rec1 = records1.reshape(r, slots, 2)
+    wa, wb = rec1[:, :, 0], rec1[:, :, 1]
+    f1 = dict(
+        m=wa, fa=wb & FA_MASK, fb=(wb >> FB_SHIFT) & FB_MASK,
+        bump=(wb >> BIT_BUMP) & 1, match=(wb >> BIT_MATCH) & 1,
+        use_lf=(wb >> BIT_USE_LF) & 1, d_up=(wb >> BIT_DOLLAR_UP) & 1,
+        d_dn=(wb >> BIT_DOLLAR_DN) & 1)
 
     def step2_fields(i_b, a2):
-        """One-step record fields of R[i_b, a2] (i_b clipped: unreachable
-        branches may carry out-of-range ids; their slots are never
-        selected at query time)."""
-        i = np.clip(i_b, 0, r - 1)
+        # unreachable branches may carry out-of-range ids; their slots
+        # are never selected at query time -- clip for the gather
+        i = jnp.clip(i_b, 0, r - 1)
         return {k: v[i, a2] for k, v in f1.items()}
 
     def descriptor(slope_mask, i_b, c_b, y_b, a2):
@@ -121,48 +108,40 @@ def build_fused2_index(fi: FusedIndex) -> Fused2Index:
         a composed LF2/MIS2 descriptor, constant branches resolve step 2
         at build time."""
         g = step2_fields(i_b, a2)
-        # slope branch, step2 LF-like
-        A_lf = g["m"]
-        B_lf = c_b + g["fa"]
-        C_lf = g["fb"]
-        fl_lf = g["match"]
-        # slope branch, step2 reposition
-        A_mis = g["m"]
-        B_mis = np.clip(g["fb"] - c_b, -_BIAS, _BIAS - 1)
-        C_mis = g["fa"]
+        # slope branch, step-2 reposition flags
         fl_mis = g["bump"] | (g["d_up"] << 1) | (g["d_dn"] << 2)
         # constant branch: evaluate step 2 on the concrete (i_b, y_b)
         off0 = g["fa"] + y_b
-        ff = (off0 >= g["fb"]).astype(np.int64)
+        ff = (off0 >= g["fb"]).astype(jnp.int32)
         j_lf = g["m"] + ff
         d_lf = off0 - ff * g["fb"]
         dn = y_b >= g["fb"]
-        j_up = np.where(g["d_up"] == 1, pd_run, g["m"])
-        d_up = np.where(g["d_up"] == 1, pd_off, g["fa"])
-        j_dn = np.where(g["d_dn"] == 1, pd_run,
-                        g["m"] + g["bump"])
-        d_dn = np.where(g["d_dn"] == 1, pd_off,
-                        np.where(g["bump"] == 1, 0, g["fa"] + 1))
-        j_c = np.where(g["use_lf"] == 1, j_lf, np.where(dn, j_dn, j_up))
-        d_c = np.where(g["use_lf"] == 1, d_lf, np.where(dn, d_dn, d_up))
-        fl_c = np.where(g["use_lf"] == 1, g["match"], 0)
+        j_up = jnp.where(g["d_up"] == 1, pd_run, g["m"])
+        d_up = jnp.where(g["d_up"] == 1, pd_off, g["fa"])
+        j_dn = jnp.where(g["d_dn"] == 1, pd_run, g["m"] + g["bump"])
+        d_dn = jnp.where(g["d_dn"] == 1, pd_off,
+                         jnp.where(g["bump"] == 1, 0, g["fa"] + 1))
+        j_c = jnp.where(g["use_lf"] == 1, j_lf, jnp.where(dn, j_dn, j_up))
+        d_c = jnp.where(g["use_lf"] == 1, d_lf, jnp.where(dn, d_dn, d_up))
+        fl_c = jnp.where(g["use_lf"] == 1, g["match"], 0)
 
         lf2 = slope_mask & (g["use_lf"] == 1)
         mis2 = slope_mask & (g["use_lf"] == 0)
-        A = np.where(lf2, A_lf, np.where(mis2, A_mis, j_c))
-        B = np.where(lf2, B_lf, np.where(mis2, B_mis, 0))
-        C = np.where(lf2, C_lf, np.where(mis2, C_mis, d_c))
-        kind = np.where(lf2, KIND_LF2, np.where(mis2, KIND_MIS2, KIND_CONST))
-        flags = np.where(lf2, fl_lf, np.where(mis2, fl_mis, fl_c))
-        A = np.clip(A, 0, r - 1)   # unreachable consts may be off-range
-        assert int(B.max()) < _BIAS and int(B.min()) >= -_BIAS
+        A = jnp.where(slope_mask, g["m"], j_c)
+        B = jnp.where(lf2, c_b + g["fa"],
+                      jnp.where(mis2,
+                                jnp.clip(g["fb"] - c_b, -_BIAS, _BIAS - 1),
+                                0))
+        C = jnp.where(lf2, g["fb"], jnp.where(mis2, g["fa"], d_c))
+        kind = jnp.where(lf2, KIND_LF2,
+                         jnp.where(mis2, KIND_MIS2, KIND_CONST))
+        flags = jnp.where(lf2, g["match"], jnp.where(mis2, fl_mis, fl_c))
+        A = jnp.clip(A, 0, r - 1)
         return A, B, C, kind, flags
 
-    from ..commons import ProgressBar
-
-    bar = ProgressBar(slots, "composing paired step records")
+    words = [[], [], [], []]
+    b_all = []
     for a1 in range(slots):
-        bar.update(a1)
         m1 = f1["m"][:, a1]
         fa1 = f1["fa"][:, a1]
         fb1 = f1["fb"][:, a1]
@@ -172,40 +151,61 @@ def build_fused2_index(fi: FusedIndex) -> Fused2Index:
         du1 = f1["d_up"][:, a1] == 1
         dd1 = f1["d_dn"][:, a1] == 1
 
-        T1 = np.where(use_lf1, fb1 - fa1, fb1)
-        T1 = np.clip(T1, -_BIAS, _BIAS - 1)
+        T1 = jnp.where(use_lf1, fb1 - fa1, fb1)
+        T1 = jnp.clip(T1, -_BIAS, _BIAS - 1)
         # branch states: lo = (x < T1), hi = (x >= T1)
-        i_up = np.where(du1, pd_run, m1)
-        y_up = np.where(du1, pd_off, fa1)
-        i_dn = np.where(dd1, pd_run, m1 + bump1)
-        y_dn = np.where(dd1, pd_off, np.where(bump1 == 1, 0, fa1 + 1))
-        i_lo = np.where(use_lf1, m1, i_up)
-        c_lo = np.where(use_lf1, fa1, 0)
-        y_lo = np.where(use_lf1, 0, y_up)
-        i_hi = np.where(use_lf1, m1 + 1, i_dn)
-        c_hi = np.where(use_lf1, fa1 - fb1, 0)
-        y_hi = np.where(use_lf1, 0, y_dn)
+        i_up = jnp.where(du1, pd_run, m1)
+        y_up = jnp.where(du1, pd_off, fa1)
+        i_dn = jnp.where(dd1, pd_run, m1 + bump1)
+        y_dn = jnp.where(dd1, pd_off, jnp.where(bump1 == 1, 0, fa1 + 1))
+        i_lo = jnp.where(use_lf1, m1, i_up)
+        c_lo = jnp.where(use_lf1, fa1, 0)
+        y_lo = jnp.where(use_lf1, 0, y_up)
+        i_hi = jnp.where(use_lf1, m1 + 1, i_dn)
+        c_hi = jnp.where(use_lf1, fa1 - fb1, 0)
+        y_hi = jnp.where(use_lf1, 0, y_dn)
 
         for a2 in range(slots):
             Al, Bl, Cl, kl, fl = descriptor(use_lf1, i_lo, c_lo, y_lo, a2)
             Ah, Bh, Ch, kh, fh = descriptor(use_lf1, i_hi, c_hi, y_hi, a2)
-            w0[:, a1, a2] = ((T1 + _BIAS)
-                             | (match1 << 13)
-                             | ((Al >> 16) << 14)
-                             | ((Ah >> 16) << 22))
-            w1[:, a1, a2] = ((Bl + _BIAS) | (Cl << 13) | (kl << 25)
-                             | (fl << 27))
-            w2[:, a1, a2] = ((Bh + _BIAS) | (Ch << 13) | (kh << 25)
-                             | (fh << 27))
-            w3[:, a1, a2] = (Al & 0xFFFF) | ((Ah & 0xFFFF) << 16)
+            words[0].append((T1 + _BIAS)
+                            | (match1 << 13)
+                            | ((Al >> 16) << 14)
+                            | ((Ah >> 16) << 22))
+            words[1].append((Bl + _BIAS) | (Cl << 13) | (kl << 25)
+                            | (fl << 27))
+            words[2].append((Bh + _BIAS) | (Ch << 13) | (kh << 25)
+                            | (fh << 27))
+            words[3].append((Al & 0xFFFF) | ((Ah & 0xFFFF) << 16))
+            b_all.extend([Bl, Bh])
 
-    bar.done()
-    rec = np.stack([w.reshape(-1) for w in (w0, w1, w2, w3)], axis=1)
+    # [r, slots^2] per word -> [r*slots^2, 4]
+    packed = jnp.stack(
+        [jnp.stack(w, axis=1).reshape(-1) for w in words], axis=1)
+    ball = jnp.stack(b_all)
+    return packed.astype(jnp.int32), (ball.min(), ball.max())
+
+
+_compose_jit = jax.jit(_compose_records,
+                       static_argnames=("r", "slots", "p_dollar"))
+
+
+def build_fused2_index(fi: FusedIndex) -> Fused2Index:
+    """Compose the one-step records into paired two-step records."""
+    r, sigma = fi.r, fi.sigma
+    assert r < MAX_RUNS, (
+        f"paired records hold 24-bit run ids; r={r} exceeds {MAX_RUNS} "
+        f"(use the one-step fused engine)")
+    slots = sigma + 1
+    records, (bmin, bmax) = _compose_jit(fi.records, r=r, slots=slots,
+                                         p_dollar=fi.p_dollar)
+    assert int(bmin) >= -_BIAS and int(bmax) < _BIAS, (
+        "composed B field out of its 13-bit range -- corrupt index?")
     return Fused2Index(
-        r=r, sigma=sigma,
-        records=jnp.asarray(rec.astype(np.uint32).view(np.int32)),
+        r=r, sigma=sigma, records=records,
         start_idx=fi.start_idx, start_offset=fi.start_offset,
         p_dollar=fi.p_dollar, alphamap_query=fi.alphamap_query)
+
 
 
 def fused2_step(records: jax.Array, slots: int, p_dollar, state, a12):

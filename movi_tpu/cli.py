@@ -391,19 +391,33 @@ def cmd_query(args):
 
             if args.platform:
                 _jax.config.update("jax_platforms", args.platform)
-            from .engine.fused_color import (FusedColorEngine,
-                                             build_fused_color_index)
             from .io.fastx import make_batches as _mb
 
-            _log("using the fused color engine")
-            eng = FusedColorEngine(
-                build_fused_color_index(ix, ct), ct,
+            color_kw = dict(
                 min_match_len=args.min_match_len,
                 pvalue_scoring=args.pvalue_scoring,
                 report_all=args.report_all,
                 min_diff_frac=args.min_diff_frac,
                 min_score_frac=args.min_score_frac,
                 early_stop=args.early_stop)
+            if (args.paired_records
+                    and len(ct.unique_doc_sets) + 1 <= 0xFFFF):
+                from .engine.fused import build_fused_index
+                from .engine.fused2 import (Fused2ColorEngine,
+                                            build_fused2_color_index)
+
+                _log("using the paired color engine "
+                     "(one gather per two bases)")
+                eng = Fused2ColorEngine(
+                    build_fused2_color_index(build_fused_index(ix), ct),
+                    ct, **color_kw)
+            else:
+                from .engine.fused_color import (FusedColorEngine,
+                                                 build_fused_color_index)
+
+                _log("using the fused color engine")
+                eng = FusedColorEngine(
+                    build_fused_color_index(ix, ct), ct, **color_kw)
             for batch in _mb(reads, lanes=args.lanes):
                 for name, (pmls, cell, cols) in zip(batch.names,
                                                     eng.query_batch(batch)):

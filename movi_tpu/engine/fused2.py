@@ -81,13 +81,19 @@ jax.tree_util.register_dataclass(
     meta_fields=["r", "sigma", "start_idx", "start_offset", "p_dollar"])
 
 
-def _compose_records(records1, r: int, slots: int, p_dollar):
+def _compose_records(records1, r: int, slots: int, p_dollar, cids=None):
     """Compose the one-step records [r*slots, 2] into two-step records
     [r*slots^2, 4] ON DEVICE: the composition is gathers + elementwise
     selects, so it runs in seconds where a host numpy loop took ~17 min
     at r = 5M (and the 2 GB table never crosses the host-device link).
     Returns (records, (b_min, b_max)); the caller asserts the B-field
-    bounds host-side."""
+    bounds host-side.
+
+    With `cids` (int32 [r] clamped color ids), emits 8-word records
+    whose words 4-6 carry the color ids of both steps' candidate
+    destinations (word 4: step-1 {lo,hi} pair; words 5/6: per-branch
+    step-2 {a,b} pairs selected by ff/down) -- the paired Movi Color
+    layout (word 7 pads to a power-of-two row)."""
     pd_run, pd_off = p_dollar
     rec1 = records1.reshape(r, slots, 2)
     wa, wb = rec1[:, :, 0], rec1[:, :, 1]
@@ -137,9 +143,20 @@ def _compose_records(records1, r: int, slots: int, p_dollar):
                          jnp.where(mis2, KIND_MIS2, KIND_CONST))
         flags = jnp.where(lf2, g["match"], jnp.where(mis2, fl_mis, fl_c))
         A = jnp.clip(A, 0, r - 1)
-        return A, B, C, kind, flags
+        if cids is None:
+            return A, B, C, kind, flags
+        # step-2 destination color-id pair, selected at query time by
+        # ff (LF2) / down (MIS2) / nothing (CONST)
+        def cid(ix_):
+            return cids[jnp.clip(ix_, 0, r - 1)]
+        up2 = jnp.where(g["d_up"] == 1, pd_run, g["m"])
+        dn2 = jnp.where(g["d_dn"] == 1, pd_run, g["m"] + g["bump"])
+        c2a = jnp.where(lf2, cid(A), jnp.where(mis2, cid(up2), cid(j_c)))
+        c2b = jnp.where(lf2, cid(A + 1),
+                        jnp.where(mis2, cid(dn2), cid(j_c)))
+        return A, B, C, kind, flags, (c2a | (c2b << 16))
 
-    words = [[], [], [], []]
+    words = [[], [], [], [], [], [], [], []]
     b_all = []
     for a1 in range(slots):
         m1 = f1["m"][:, a1]
@@ -166,8 +183,10 @@ def _compose_records(records1, r: int, slots: int, p_dollar):
         y_hi = jnp.where(use_lf1, 0, y_dn)
 
         for a2 in range(slots):
-            Al, Bl, Cl, kl, fl = descriptor(use_lf1, i_lo, c_lo, y_lo, a2)
-            Ah, Bh, Ch, kh, fh = descriptor(use_lf1, i_hi, c_hi, y_hi, a2)
+            dl = descriptor(use_lf1, i_lo, c_lo, y_lo, a2)
+            dh = descriptor(use_lf1, i_hi, c_hi, y_hi, a2)
+            Al, Bl, Cl, kl, fl = dl[:5]
+            Ah, Bh, Ch, kh, fh = dh[:5]
             words[0].append((T1 + _BIAS)
                             | (match1 << 13)
                             | ((Al >> 16) << 14)
@@ -178,10 +197,17 @@ def _compose_records(records1, r: int, slots: int, p_dollar):
                             | (fh << 27))
             words[3].append((Al & 0xFFFF) | ((Ah & 0xFFFF) << 16))
             b_all.extend([Bl, Bh])
+            if cids is not None:
+                cid1_lo = cids[jnp.clip(i_lo, 0, r - 1)]
+                cid1_hi = cids[jnp.clip(i_hi, 0, r - 1)]
+                words[4].append(cid1_lo | (cid1_hi << 16))
+                words[5].append(dl[5])
+                words[6].append(dh[5])
+                words[7].append(jnp.zeros_like(cid1_lo))
 
-    # [r, slots^2] per word -> [r*slots^2, 4]
+    # [r, slots^2] per word -> [r*slots^2, nwords]
     packed = jnp.stack(
-        [jnp.stack(w, axis=1).reshape(-1) for w in words], axis=1)
+        [jnp.stack(w, axis=1).reshape(-1) for w in words if w], axis=1)
     ball = jnp.stack(b_all)
     return packed.astype(jnp.int32), (ball.min(), ball.max())
 
@@ -323,4 +349,183 @@ class Fused2PMLEngine:
         for lane in range(batch.lanes):
             L = int(batch.lengths[lane])
             out.append(ml[:L, lane].tolist())
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Paired Movi Color: PML + per-base color ids at half a gather per base
+
+
+@dataclass
+class Fused2ColorIndex:
+    f2: Fused2Index             # records are 8-word color records
+    num_colors: int
+
+
+jax.tree_util.register_dataclass(
+    Fused2ColorIndex, data_fields=["f2"], meta_fields=["num_colors"])
+
+
+def build_fused2_color_index(fi: FusedIndex, ct) -> Fused2ColorIndex:
+    """Compose paired records widened with both steps' destination color
+    ids (the paired analogue of engine/fused_color.py's 3-word record).
+    Requires the kept-set count to fit 16 bits, like the packed color
+    path."""
+    r, sigma = fi.r, fi.sigma
+    assert r < MAX_RUNS
+    C = len(ct.unique_doc_sets)
+    assert C + 1 <= 0xFFFF, "paired color needs <= 2^16-2 unique sets"
+    slots = sigma + 1
+    cids = jnp.asarray(
+        np.minimum(np.asarray(ct.doc_set_inds), C).astype(np.int32))
+    records, (bmin, bmax) = _compose_jit(fi.records, r=r, slots=slots,
+                                         p_dollar=fi.p_dollar, cids=cids)
+    assert int(bmin) >= -_BIAS and int(bmax) < _BIAS
+    f2 = Fused2Index(
+        r=r, sigma=sigma, records=records,
+        start_idx=fi.start_idx, start_offset=fi.start_offset,
+        p_dollar=fi.p_dollar, alphamap_query=fi.alphamap_query)
+    return Fused2ColorIndex(f2=f2, num_colors=C)
+
+
+def fused2_color_step(records: jax.Array, slots: int, p_dollar, state,
+                      a12):
+    """Two PML base steps + both post-LF color ids from ONE 32-byte
+    gather (fused2_step plus the word-4..6 color selectors)."""
+    idx, offset, ml = state
+    rec = jnp.take(records, idx * (slots * slots) + a12, axis=0)
+    w0 = rec[:, 0]
+    w3 = rec[:, 3]
+    T1 = (w0 & 0x1FFF) - _BIAS
+    match1 = (w0 >> 13) & 1
+    hi = offset >= T1
+    wb = jnp.where(hi, rec[:, 2], rec[:, 1])
+    A = jnp.where(hi,
+                  ((w3 >> 16) & 0xFFFF) | (((w0 >> 22) & 0xFF) << 16),
+                  (w3 & 0xFFFF) | (((w0 >> 14) & 0xFF) << 16))
+    B = (wb & 0x1FFF) - _BIAS
+    C = (wb >> 13) & 0xFFF
+    kind = (wb >> 25) & 3
+    flags = (wb >> 27) & 7
+
+    off0 = B + offset
+    ff = (off0 >= C).astype(jnp.int32)
+    lf_idx = A + ff
+    lf_off = off0 - ff * C
+
+    pd_run, pd_off = p_dollar
+    bump = flags & 1
+    d_up = (flags >> 1) & 1
+    d_dn = (flags >> 2) & 1
+    down = offset >= B
+    up_run = jnp.where(d_up == 1, pd_run, A)
+    up_off = jnp.where(d_up == 1, pd_off, C)
+    dn_run = jnp.where(d_dn == 1, pd_run, A + bump)
+    dn_off = jnp.where(d_dn == 1, pd_off, jnp.where(bump == 1, 0, C + 1))
+    mis_idx = jnp.where(down, dn_run, up_run)
+    mis_off = jnp.where(down, dn_off, up_off)
+
+    new_idx = jnp.where(kind == KIND_LF2, lf_idx,
+                        jnp.where(kind == KIND_MIS2, mis_idx, A))
+    new_off = jnp.where(kind == KIND_LF2, lf_off,
+                        jnp.where(kind == KIND_MIS2, mis_off, C))
+    match2 = jnp.where(kind == KIND_MIS2, 0, flags & 1)
+    ml1 = jnp.where(match1 == 1, ml + 1, 0)
+    ml2 = jnp.where(match2 == 1, ml1 + 1, 0)
+
+    # color selectors: step 1 by the branch bit, step 2 by ff/down
+    w4 = rec[:, 4]
+    cid1 = jnp.where(hi, (w4 >> 16) & 0xFFFF, w4 & 0xFFFF)
+    wc2 = jnp.where(hi, rec[:, 6], rec[:, 5])
+    sel2 = jnp.where(kind == KIND_LF2, ff,
+                     jnp.where(kind == KIND_MIS2,
+                               down.astype(jnp.int32), 0))
+    cid2 = jnp.where(sel2 == 1, (wc2 >> 16) & 0xFFFF, wc2 & 0xFFFF)
+    return (new_idx, new_off, ml2), (ml1, ml2, cid1, cid2)
+
+
+@jax.jit
+def _fused2_color_scan_carry(ci: Fused2ColorIndex, a12_t: jax.Array,
+                             state):
+    f2 = ci.f2
+    slots = f2.sigma + 1
+    a12_t = a12_t.astype(jnp.int32)
+
+    def step(st, a):
+        return fused2_color_step(f2.records, slots, f2.p_dollar, st, a)
+
+    state, (ml1, ml2, c1, c2) = jax.lax.scan(step, state, a12_t)
+    W2, lanes = a12_t.shape
+    ml = jnp.stack([ml1, ml2], axis=1).reshape(2 * W2, lanes)
+    color = jnp.stack([c1, c2], axis=1).reshape(2 * W2, lanes)
+    return state, ml, color
+
+
+class Fused2ColorEngine:
+    """Multi-class classification at half a gather per base: the paired
+    device scan emits (ml, color) with the same contract as
+    FusedColorEngine, whose host-side vote tally and early-stop
+    retirement are reused via delegation."""
+
+    CHUNK = 1024
+
+    def __init__(self, ci: Fused2ColorIndex, ct, **kw):
+        from .fused_color import FusedColorEngine
+
+        self.ci = ci
+        # the host tally needs no device index: delegate with ci=None
+        self._host = FusedColorEngine(None, ct, **kw)
+
+    def query_batch_device(self, batch: ReadBatch):
+        f2 = self.ci.f2
+        slots = f2.sigma + 1
+        seqs_rev = batch.seqs[:, ::-1]
+        alphas = f2.alphamap_query[seqs_rev]
+        W = alphas.shape[1]
+        if W % 2:
+            alphas = np.concatenate(
+                [alphas, np.full((alphas.shape[0], 1), f2.sigma,
+                                 alphas.dtype)], axis=1)
+        a12 = (alphas[:, 0::2].astype(np.int32) * slots
+               + alphas[:, 1::2])
+        a12_t = jnp.asarray(np.ascontiguousarray(a12.T).astype(np.uint8))
+        W2, lanes = a12_t.shape
+        state = (jnp.full((lanes,), f2.start_idx, jnp.int32),
+                 jnp.full((lanes,), f2.start_offset, jnp.int32),
+                 jnp.zeros((lanes,), jnp.int32))
+        if W2 <= self.CHUNK:
+            _, ml, color = _fused2_color_scan_carry(self.ci, a12_t, state)
+            return ml[:W], color[:W]
+        pad = (-W2) % self.CHUNK
+        if pad:
+            illegal = f2.sigma * slots + f2.sigma
+            a12_t = jnp.concatenate(
+                [a12_t, jnp.full((pad, lanes), illegal, a12_t.dtype)])
+        mls, colors = [], []
+        for c0 in range(0, W2 + pad, self.CHUNK):
+            state, ml, color = _fused2_color_scan_carry(
+                self.ci, jax.lax.slice_in_dim(a12_t, c0, c0 + self.CHUNK),
+                state)
+            mls.append(ml)
+            colors.append(color)
+        return jnp.concatenate(mls)[:W], jnp.concatenate(colors)[:W]
+
+    def query_batch(self, batch: ReadBatch):
+        from .fused_color import _early_stop_len
+
+        ml_d, color_d = self.query_batch_device(batch)
+        host = self._host
+        ml = np.asarray(ml_d)
+        color = np.asarray(color_d)
+        out = []
+        for lane in range(batch.lanes):
+            L = int(batch.lengths[lane])
+            pmls = ml[:L, lane]
+            cids = color[:L, lane]
+            if host.early_stop:
+                n = _early_stop_len(pmls, L)
+                pmls = pmls[:n]
+                cids = cids[:n]
+            cell, rep_colors = host._tally(pmls, cids, L)
+            out.append((pmls.tolist(), cell, rep_colors))
         return out

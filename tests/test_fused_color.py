@@ -104,3 +104,48 @@ def test_fused_color_early_stop(setup):
         if len(pmls) < len(seq):
             trunc += 1
     assert trunc >= 1
+
+
+def test_fused2_color_matches_scalar(setup):
+    """Paired-base Movi Color engine (engine/fused2.py): bit-equal to
+    the scalar ColorEngine across the config matrix, incl. early-stop."""
+    from movi_tpu.engine.fused import build_fused_index
+    from movi_tpu.engine.fused2 import (Fused2ColorEngine,
+                                        build_fused2_color_index)
+
+    ix, runs, ct, reads = setup
+    fi = build_fused_index(ix)
+    ci2 = build_fused2_color_index(fi, ct)
+    for cfg in (dict(), dict(min_match_len=3), dict(pvalue_scoring=True),
+                dict(report_all=True, min_score_frac=0.1),
+                dict(early_stop=True)):
+        sc = ColorEngine(ix, ct, report_colors=True, **cfg)
+        fe = Fused2ColorEngine(ci2, ct, **cfg)
+        got = {}
+        for b in make_batches(reads, lanes=len(reads)):
+            for nm, r in zip(b.names, fe.query_batch(b)):
+                got[nm] = r
+        for name, seq in reads:
+            pmls, cell = sc.query_pml_multiclass(seq)
+            gp, gc, gcol = got[name]
+            assert gp == pmls, (name, cfg, "pml")
+            assert gc == cell, (name, cfg, "cell")
+            assert gcol == sc.last_colors, (name, cfg, "colors")
+
+
+def test_fused2_color_compressed(setup):
+    from movi_tpu.engine.fused import build_fused_index
+    from movi_tpu.engine.fused2 import (Fused2ColorEngine,
+                                        build_fused2_color_index)
+
+    ix, runs, ct, reads = setup
+    ct2 = compress_color_table(ct, take=3)
+    fi = build_fused_index(ix)
+    ci2 = build_fused2_color_index(fi, ct2)
+    sc = ColorEngine(ix, ct2)
+    fe = Fused2ColorEngine(ci2, ct2)
+    for b in make_batches(reads, lanes=len(reads)):
+        for nm, (gp, gc, _), (name, seq) in zip(b.names, fe.query_batch(b),
+                                                reads):
+            pmls, cell = sc.query_pml_multiclass(seq)
+            assert gp == pmls and gc == cell, name

@@ -63,8 +63,17 @@ def _pml_classify_scan(fi: FusedIndex, alphas_t: jax.Array,
         return fused_pml_step(fi.records, slots, fi.p_dollar, state, a)
 
     _, ml = jax.lax.scan(step, (idx0, off0, ml0), alphas_t)
+    found, above, below = _classify_from_ml(ml, lengths, bin_width,
+                                            max_value_thr)
+    return ml.astype(jnp.uint16), found, above, below
 
-    # ---- binned maxima (vectorized over variable read lengths) ----
+
+def _classify_from_ml(ml: jax.Array, lengths: jax.Array, bin_width: int,
+                      max_value_thr: jax.Array):
+    """Binned maxima + threshold vote, vectorized over variable read
+    lengths (classifier.cpp:99-143; last short region merged into the
+    previous bin)."""
+    W, lanes = ml.shape
     nb = -(-W // bin_width)  # naive bin count (ceil)
     pad = nb * bin_width - W
     t_idx = jnp.arange(W)[:, None]
@@ -83,6 +92,31 @@ def _pml_classify_scan(fi: FusedIndex, alphas_t: jax.Array,
     above = above_pre + (tail_max >= max_value_thr).astype(jnp.int32)
     below = B.astype(jnp.int32) - above
     found = 2 * above > B
+    return found, above, below
+
+
+@partial(jax.jit, static_argnums=(3, 5))
+def _pml_classify_scan_paired(f2, a12_t: jax.Array, lengths: jax.Array,
+                              bin_width: int, max_value_thr: jax.Array,
+                              W: int):
+    """Paired-record variant (engine/fused2.py): one 16 B gather per two
+    bases, same on-device classification."""
+    from ..engine.fused2 import fused2_step
+
+    W2, lanes = a12_t.shape
+    slots = f2.sigma + 1
+    a12_t = a12_t.astype(jnp.int32)
+    state = (jnp.full((lanes,), f2.start_idx, jnp.int32),
+             jnp.full((lanes,), f2.start_offset, jnp.int32),
+             jnp.zeros((lanes,), jnp.int32))
+
+    def step(st, a):
+        return fused2_step(f2.records, slots, f2.p_dollar, st, a)
+
+    _, (ml1, ml2) = jax.lax.scan(step, state, a12_t)
+    ml = jnp.stack([ml1, ml2], axis=1).reshape(2 * W2, lanes)[:W]
+    found, above, below = _classify_from_ml(ml, lengths, bin_width,
+                                            max_value_thr)
     return ml.astype(jnp.uint16), found, above, below
 
 
@@ -139,22 +173,48 @@ class ShardedPMLEngine:
     """Data-parallel PML (+classification) over a mesh."""
 
     def __init__(self, fi: FusedIndex, mesh: Optional[Mesh] = None,
-                 bin_width: int = 150, max_value_thr: int = 4):
+                 bin_width: int = 150, max_value_thr: int = 4,
+                 paired: bool = False):
         self.mesh = mesh or make_mesh()
-        self.fi = replicate_index(self.mesh, fi)
         self.bin_width = bin_width
         self.max_value_thr = max_value_thr
         self.lane_sharding = NamedSharding(self.mesh, P(None, "data"))
         self.vec_sharding = NamedSharding(self.mesh, P("data"))
+        self.paired = paired
+        if paired:
+            from ..engine.fused2 import build_fused2_index
+
+            f2 = build_fused2_index(fi)
+            self.fi = replicate_index(self.mesh, f2)
+            self.alphamap_query = f2.alphamap_query
+        else:
+            self.fi = replicate_index(self.mesh, fi)
+            self.alphamap_query = fi.alphamap_query
 
     def query_batch_device(self, seqs: np.ndarray, lengths: np.ndarray):
         """seqs: uint8 [lanes, W] right-aligned; lanes must be divisible
         by the mesh size.  Returns (ml, found, above, below) device arrays
         sharded over lanes."""
-        alphas = self.fi.alphamap_query[seqs[:, ::-1]].T.astype(np.int32)
-        alphas_d = jax.device_put(jnp.asarray(alphas), self.lane_sharding)
         lengths_d = jax.device_put(jnp.asarray(lengths.astype(np.int32)),
                                    self.vec_sharding)
+        if self.paired:
+            fi = self.fi
+            slots = fi.sigma + 1
+            alphas = self.alphamap_query[seqs[:, ::-1]]
+            W = alphas.shape[1]
+            if W % 2:
+                alphas = np.concatenate(
+                    [alphas, np.full((alphas.shape[0], 1), fi.sigma,
+                                     alphas.dtype)], axis=1)
+            a12 = (alphas[:, 0::2].astype(np.int32) * slots
+                   + alphas[:, 1::2]).T
+            a12_d = jax.device_put(jnp.asarray(a12.astype(np.uint8)),
+                                   self.lane_sharding)
+            return _pml_classify_scan_paired(
+                fi, a12_d, lengths_d, self.bin_width,
+                jnp.int32(self.max_value_thr), W)
+        alphas = self.alphamap_query[seqs[:, ::-1]].T.astype(np.int32)
+        alphas_d = jax.device_put(jnp.asarray(alphas), self.lane_sharding)
         return _pml_classify_scan(self.fi, alphas_d, lengths_d,
                                   self.bin_width,
                                   jnp.int32(self.max_value_thr))

@@ -128,3 +128,38 @@ def test_sharded_search_and_color(setup):
         assert cml[:L, i].tolist() == pmls, i
         got_cell, _ = fe._tally(cml[:L, i], ccol[:L, i], L)
         assert got_cell == cell, i
+
+
+def test_sharded_pml_paired(setup):
+    """paired=True runs the two-base-per-gather scan over the same mesh
+    with identical PMLs and classification."""
+    text, ix, scalar, fi = setup
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(41)
+    lanes, Wmax = 32, 63   # odd width exercises the pair tail pad
+    seqs = np.full((lanes, Wmax), 255, dtype=np.uint8)
+    lengths = np.zeros(lanes, dtype=np.int32)
+    reads = []
+    for i in range(lanes):
+        L = int(rng.integers(8, Wmax))
+        s = int(rng.integers(0, len(text) - L))
+        seq = text[s : s + L].copy()
+        seqs[i, Wmax - L:] = seq
+        lengths[i] = L
+        reads.append(bytes(seq.tobytes()))
+
+    db = EmpNullDatabase()
+    db.compute([1, 1, 1, 1, 1, 2, 2, 2, 2, 2])
+    cl = Classifier(db, bin_width=16)
+    eng = ShardedPMLEngine(fi, mesh=mesh, bin_width=16,
+                           max_value_thr=cl.max_value_thr, paired=True)
+    ml, found, above, below = eng.query_batch_device(seqs, lengths)
+    ml, found = np.asarray(ml), np.asarray(found)
+    above, below = np.asarray(above), np.asarray(below)
+    for i, seq in enumerate(reads):
+        L = lengths[i]
+        want_pml = scalar.query_pml(seq)
+        assert ml[:L, i].tolist() == want_pml, i
+        w_found, _, w_above, w_below = cl.classify(want_pml)
+        assert (found[i], above[i], below[i]) == (w_found, w_above,
+                                                  w_below), i

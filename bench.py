@@ -233,7 +233,21 @@ def measure_native_baseline(fi, base, reads):
     return n_reads * READ_LEN / dt
 
 
+def _enable_compile_cache():
+    """Persistent XLA compile cache: first compiles through the TPU relay
+    cost 20-160 s; cached reloads are near-instant across runs/rounds."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(CACHE_DIR, "xla"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+
 def main():
+    _enable_compile_cache()
     out = {}
 
     fi_hbm, reads_hbm, base = build_large()

@@ -291,10 +291,24 @@ def _query_type(args):
     raise SystemExit("specify one of --pml/--zml/--count/--mem/--kmer")
 
 
+def _enable_compile_cache(index_dir: str):
+    """Persistent XLA compile cache in the index dir: first TPU compiles
+    cost 20-160 s through the relay; reloads are near-instant."""
+    try:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(index_dir, ".xla_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+
 def cmd_query(args):
     from .io.fastx import iter_fastx, make_batches
     from .io.outputs import BPFWriter, count_line, pml_stdout_lines
 
+    _enable_compile_cache(args.index)
     if args.profile:
         # TPU-native tracing (the analogue of the reference's --logs
         # chrono sampling): wraps the whole query in a profiler trace

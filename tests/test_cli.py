@@ -36,6 +36,15 @@ def test_cli_build_query_golden(tmp_path):
         want = f.read().splitlines()
     assert got == want
 
+    # the paired-record engine hits the same golden
+    r = _run(["query", "--index", idx,
+              "--read", os.path.join(REF_DATA, "sample.fastq"),
+              "--pml", "--stdout", "--platform", "cpu",
+              "--paired-records"])
+    assert r.returncode == 0, r.stderr
+    assert "paired-record engine" in r.stderr
+    assert sorted(r.stdout.splitlines(), key=str.encode) == want
+
 
 @requires_ref_data
 def test_cli_sa_entries(tmp_path):

@@ -139,3 +139,41 @@ def test_fuzz_advanced_device_engines():
                     (seed, nm, k)
                 pmls, cell = sc.query_pml_multiclass(seq)
                 assert col[i][0] == pmls and col[i][1] == cell, (seed, nm)
+
+
+def test_fuzz_paired_engines():
+    """Paired PML + paired color vs scalar over random and degenerate
+    texts (the composed records exercise every descriptor kind)."""
+    from movi_tpu.color import ColorEngine, DocumentInfo, build_color_table
+    from movi_tpu.engine.fused2 import (Fused2ColorEngine, Fused2PMLEngine,
+                                        build_fused2_color_index,
+                                        build_fused2_index)
+
+    rng = np.random.default_rng(777)
+    for t_i, text in enumerate(_texts(rng)):
+        runs = build_bwt_runs(text)
+        ix = build_move_index(runs, "regular-thresholds", bound_ff=1)
+        sc = ScalarEngine(ix)
+        fi = build_fused_index(ix)
+        eng = Fused2PMLEngine(build_fused2_index(fi))
+        half = max(1, len(text) // 2)
+        di = DocumentInfo.create([half, len(text)])
+        ct = build_color_table(ix, runs.sa, di)
+        csc = ColorEngine(ix, ct)
+        ceng = Fused2ColorEngine(build_fused2_color_index(fi, ct), ct)
+
+        reads = []
+        for i in range(10):
+            L = int(rng.integers(1, 50))
+            s = int(rng.integers(0, max(1, len(text) - L)))
+            seq = bytearray(text[s : s + L].tobytes())
+            if i % 3 == 0 and L > 2:
+                seq[int(rng.integers(0, L))] = ord("N")
+            reads.append((f"r{i}", bytes(seq)))
+        batch = next(make_batches(reads, lanes=len(reads)))
+        got = eng.query_batch(batch)
+        gotc = ceng.query_batch(batch)
+        for i, (name, seq) in enumerate(reads):
+            assert got[i] == sc.query_pml(seq), (t_i, name)
+            pmls, cell = csc.query_pml_multiclass(seq)
+            assert gotc[i][0] == pmls and gotc[i][1] == cell, (t_i, name)

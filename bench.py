@@ -104,16 +104,12 @@ def tpu_rate_paired(f2, reads, reps):
     import jax
     import jax.numpy as jnp
 
-    from movi_tpu.engine.fused2 import fused2_step
+    from movi_tpu.engine.fused2 import fused2_step, pack_pairs
 
     slots = f2.sigma + 1
     lanes, read_len = reads.shape
-    alphas = f2.alphamap_query[reads[:, ::-1]]
-    if read_len % 2:
-        alphas = np.concatenate(
-            [alphas, np.full((lanes, 1), f2.sigma, alphas.dtype)], axis=1)
-    a12 = alphas[:, 0::2].astype(np.int32) * slots + alphas[:, 1::2]
-    a12_t = jnp.asarray(np.ascontiguousarray(a12.T).astype(np.uint8))
+    a12, _ = pack_pairs(f2.alphamap_query[reads[:, ::-1]], f2.sigma)
+    a12_t = jnp.asarray(a12)
 
     @jax.jit
     def run_reps(records, a12_t):

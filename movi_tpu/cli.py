@@ -177,6 +177,9 @@ def cmd_build(args):
              f"{di.num_docs} documents")
 
     ix.save(os.path.join(args.index, "index.npz"))
+    from .commons import success
+
+    success(f"The index is built and stored in {args.index}")
     if args.mmap:
         ix.save_mmap(os.path.join(args.index, "index.mmap"))
         _log("wrote mmap layout index.mmap/")
@@ -650,9 +653,21 @@ def cmd_query(args):
             from .engine.fused import (FusedPMLEngine, build_fused_index,
                                        load_fused_index)
 
+            from .engine.fused import save_fused_index
+
             cache = os.path.join(args.index, "fused_records.npz")
-            fi = (load_fused_index(cache) if os.path.exists(cache)
-                  else build_fused_index(ix))
+            fi = None
+            if os.path.exists(cache):
+                try:
+                    fi = load_fused_index(cache)
+                except ValueError as e:
+                    from .commons import warning
+
+                    warning(f"{e}; rebuilding fused records")
+            if fi is None:
+                fi = build_fused_index(ix)
+                if os.path.exists(cache):
+                    save_fused_index(fi, cache)  # refresh the stale cache
             if args.paired_records:
                 from .engine.fused2 import (Fused2PMLEngine,
                                             build_fused2_index)
@@ -1273,7 +1288,18 @@ def main(argv=None):
         return
     if args.filter if hasattr(args, "filter") else False:
         args.classify = True
-    args.func(args)
+    from .commons import error, timing
+
+    try:
+        # TIMING section around every subcommand (commons.hpp:31-44;
+        # the reference times load/query in movi.cpp:268,387-389)
+        with timing(args.command):
+            args.func(args)
+    except (AssertionError, ValueError, FileNotFoundError) as e:
+        # formatted fatal errors like the reference's catch in main
+        # (movi.cpp:744-747)
+        error(str(e))
+        raise SystemExit(1)
 
 
 if __name__ == "__main__":

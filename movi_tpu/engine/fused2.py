@@ -234,11 +234,10 @@ def build_fused2_index(fi: FusedIndex) -> Fused2Index:
 
 
 
-def fused2_step(records: jax.Array, slots: int, p_dollar, state, a12):
-    """Two PML base steps from a single 16-byte gather.
-    a12 = a1 * slots + a2.  Emits (ml1, ml2)."""
-    idx, offset, ml = state
-    rec = jnp.take(records, idx * (slots * slots) + a12, axis=0)
+def _fused2_decode(rec: jax.Array, offset: jax.Array, p_dollar):
+    """Shared paired-record decode on a gathered [lanes, >=4] record.
+    Returns (new_idx, new_off, match1, match2, hi, ff, down, kind) --
+    the selectors are reused by the color variant."""
     w0 = rec[:, 0]
     w3 = rec[:, 3]
     T1 = (w0 & 0x1FFF) - _BIAS
@@ -277,9 +276,38 @@ def fused2_step(records: jax.Array, slots: int, p_dollar, state, a12):
     new_off = jnp.where(kind == KIND_LF2, lf_off,
                         jnp.where(kind == KIND_MIS2, mis_off, C))
     match2 = jnp.where(kind == KIND_MIS2, 0, flags & 1)
+    return new_idx, new_off, match1, match2, hi, ff, down, kind
+
+
+def fused2_step(records: jax.Array, slots: int, p_dollar, state, a12):
+    """Two PML base steps from a single 16-byte gather.
+    a12 = a1 * slots + a2.  Emits (ml1, ml2)."""
+    idx, offset, ml = state
+    rec = jnp.take(records, idx * (slots * slots) + a12, axis=0)
+    new_idx, new_off, match1, match2, *_ = _fused2_decode(rec, offset,
+                                                          p_dollar)
     ml1 = jnp.where(match1 == 1, ml + 1, 0)
     ml2 = jnp.where(match2 == 1, ml1 + 1, 0)
     return (new_idx, new_off, ml2), (ml1, ml2)
+
+
+def pack_pairs(alphas: np.ndarray, sigma: int):
+    """Host-side pair packing shared by every paired engine: reverse
+    already applied, [lanes, W] alphabet slots -> ([W2, lanes] combined
+    a1*(sigma+1)+a2, W).  Odd widths pad the scan tail (past every
+    read's end) with the illegal slot.  Ships uint8 when the pair range
+    fits (sub-int32 xs are widened ONCE on device by the scan
+    wrappers); wider alphabets fall back to int32."""
+    slots = sigma + 1
+    W = alphas.shape[1]
+    if W % 2:
+        alphas = np.concatenate(
+            [alphas, np.full((alphas.shape[0], 1), sigma, alphas.dtype)],
+            axis=1)
+    a12 = (alphas[:, 0::2].astype(np.int32) * slots
+           + alphas[:, 1::2]).T
+    dtype = np.uint8 if slots * slots - 1 <= 0xFF else np.int32
+    return np.ascontiguousarray(a12).astype(dtype), W
 
 
 @jax.jit
@@ -310,19 +338,9 @@ class Fused2PMLEngine:
     def query_batch_device(self, batch: ReadBatch) -> jax.Array:
         fi = self.fi
         slots = fi.sigma + 1
-        seqs_rev = batch.seqs[:, ::-1]
-        alphas = fi.alphamap_query[seqs_rev]          # [lanes, W]
-        W = alphas.shape[1]
-        if W % 2:
-            # pad the scan tail (past every read's end) with the
-            # illegal slot; emissions there are discarded per lane
-            alphas = np.concatenate(
-                [alphas, np.full((alphas.shape[0], 1), fi.sigma,
-                                 alphas.dtype)], axis=1)
-        a12 = (alphas[:, 0::2].astype(np.int32) * slots
-               + alphas[:, 1::2])                     # [lanes, W2]
-        assert slots * slots - 1 <= 0xFF, "pair slot exceeds uint8"
-        a12_t = jnp.asarray(np.ascontiguousarray(a12.T).astype(np.uint8))
+        a12, W = pack_pairs(fi.alphamap_query[batch.seqs[:, ::-1]],
+                            fi.sigma)
+        a12_t = jnp.asarray(a12)
         W2, lanes = a12_t.shape
         state = (jnp.full((lanes,), fi.start_idx, jnp.int32),
                  jnp.full((lanes,), fi.start_offset, jnp.int32),
@@ -391,45 +409,11 @@ def build_fused2_color_index(fi: FusedIndex, ct) -> Fused2ColorIndex:
 def fused2_color_step(records: jax.Array, slots: int, p_dollar, state,
                       a12):
     """Two PML base steps + both post-LF color ids from ONE 32-byte
-    gather (fused2_step plus the word-4..6 color selectors)."""
+    gather (the shared decode plus the word-4..6 color selectors)."""
     idx, offset, ml = state
     rec = jnp.take(records, idx * (slots * slots) + a12, axis=0)
-    w0 = rec[:, 0]
-    w3 = rec[:, 3]
-    T1 = (w0 & 0x1FFF) - _BIAS
-    match1 = (w0 >> 13) & 1
-    hi = offset >= T1
-    wb = jnp.where(hi, rec[:, 2], rec[:, 1])
-    A = jnp.where(hi,
-                  ((w3 >> 16) & 0xFFFF) | (((w0 >> 22) & 0xFF) << 16),
-                  (w3 & 0xFFFF) | (((w0 >> 14) & 0xFF) << 16))
-    B = (wb & 0x1FFF) - _BIAS
-    C = (wb >> 13) & 0xFFF
-    kind = (wb >> 25) & 3
-    flags = (wb >> 27) & 7
-
-    off0 = B + offset
-    ff = (off0 >= C).astype(jnp.int32)
-    lf_idx = A + ff
-    lf_off = off0 - ff * C
-
-    pd_run, pd_off = p_dollar
-    bump = flags & 1
-    d_up = (flags >> 1) & 1
-    d_dn = (flags >> 2) & 1
-    down = offset >= B
-    up_run = jnp.where(d_up == 1, pd_run, A)
-    up_off = jnp.where(d_up == 1, pd_off, C)
-    dn_run = jnp.where(d_dn == 1, pd_run, A + bump)
-    dn_off = jnp.where(d_dn == 1, pd_off, jnp.where(bump == 1, 0, C + 1))
-    mis_idx = jnp.where(down, dn_run, up_run)
-    mis_off = jnp.where(down, dn_off, up_off)
-
-    new_idx = jnp.where(kind == KIND_LF2, lf_idx,
-                        jnp.where(kind == KIND_MIS2, mis_idx, A))
-    new_off = jnp.where(kind == KIND_LF2, lf_off,
-                        jnp.where(kind == KIND_MIS2, mis_off, C))
-    match2 = jnp.where(kind == KIND_MIS2, 0, flags & 1)
+    (new_idx, new_off, match1, match2,
+     hi, ff, down, kind) = _fused2_decode(rec, offset, p_dollar)
     ml1 = jnp.where(match1 == 1, ml + 1, 0)
     ml2 = jnp.where(match2 == 1, ml1 + 1, 0)
 
@@ -479,16 +463,9 @@ class Fused2ColorEngine:
     def query_batch_device(self, batch: ReadBatch):
         f2 = self.ci.f2
         slots = f2.sigma + 1
-        seqs_rev = batch.seqs[:, ::-1]
-        alphas = f2.alphamap_query[seqs_rev]
-        W = alphas.shape[1]
-        if W % 2:
-            alphas = np.concatenate(
-                [alphas, np.full((alphas.shape[0], 1), f2.sigma,
-                                 alphas.dtype)], axis=1)
-        a12 = (alphas[:, 0::2].astype(np.int32) * slots
-               + alphas[:, 1::2])
-        a12_t = jnp.asarray(np.ascontiguousarray(a12.T).astype(np.uint8))
+        a12, W = pack_pairs(f2.alphamap_query[batch.seqs[:, ::-1]],
+                            f2.sigma)
+        a12_t = jnp.asarray(a12)
         W2, lanes = a12_t.shape
         state = (jnp.full((lanes,), f2.start_idx, jnp.int32),
                  jnp.full((lanes,), f2.start_offset, jnp.int32),

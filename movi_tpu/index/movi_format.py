@@ -194,6 +194,9 @@ def _rows_movi1(ix: MoveIndex, constant: bool = False):
         n64 = ix.n_arr.astype(np.int64)
         v = ix.thr.astype(np.int64)                      # [r, 3]
         nontrivial = (v > 0) & (v < n64[:, None])
+        # only the first sigma-1 slots hold real thresholds (one per
+        # non-row character, alphamap_3); ignore unused slots
+        nontrivial &= (np.arange(3) < max(1, ix.sigma - 1))[None, :]
         vmax = np.where(nontrivial, v, np.int64(-1)).max(axis=1)
         vmin = np.where(nontrivial, v, np.iinfo(np.int64).max).min(axis=1)
         multi = (nontrivial.sum(axis=1) >= 2) & (vmax != vmin)
@@ -207,7 +210,14 @@ def _rows_movi1(ix: MoveIndex, constant: bool = False):
             thr16 = np.where(status == 1, vs.astype(np.uint16), thr16)
         over_rows = np.flatnonzero(multi)[::-1]  # reference push order:
         if len(over_rows):                       # i = r-1 down to 1
-            thr_overflow = v[over_rows]
+            # entries are (sigma-1) u64 each (write_overflow_tables,
+            # move_structure_io.cpp:197-199): pad/trim the 3 stored
+            # threshold slots to the alphabet width
+            width = max(1, ix.sigma - 1)
+            thr_overflow = np.zeros((len(over_rows), width),
+                                    dtype=np.int64)
+            take = min(3, width)
+            thr_overflow[:, :take] = v[over_rows][:, :take]
             if len(over_rows) >= 0xFFFF:
                 raise ValueError(
                     "more than uint16 rows with overflow thresholds "
@@ -269,13 +279,17 @@ def _blocked_ids(ix: MoveIndex, mode_num: int):
     ids = ix.id_arr.astype(np.int64)
     c = ix.c_arr.astype(np.int64)
     first_runs = ix.first_runs.astype(np.int64)
+    from ..commons import ProgressBar
+
     while True:
         nblocks = (r + block_size - 1) // block_size
         id_blocks = np.zeros((ix.sigma, nblocks), dtype=np.uint32)
         blocked = np.zeros(r, dtype=np.int64)
         start_id = np.zeros(ix.sigma, dtype=np.int64)
         ok = True
+        bar = ProgressBar(nblocks, "computing blocked ids")
         for b in range(nblocks):
+            bar.update(b)
             id_blocks[:, b] = start_id
             lo, hi = b * block_size, min((b + 1) * block_size, r)
             for i in range(lo, hi):
@@ -290,6 +304,7 @@ def _blocked_ids(ix: MoveIndex, mode_num: int):
                 start_id[c[i]] = adj
             if not ok:
                 break
+        bar.done()
         if ok:
             return blocked, id_blocks, block_size
         block_size //= 2
@@ -692,7 +707,10 @@ def read_movi(path: str, mode_hint: int = -1,
                     st0 == 0, 0,
                     np.where(st0 == 3, n64[ri],
                              rows_movi1["thr"][ri].astype(np.int64)))
-                thr[ri] = thr_ovf_t[tab_idx][:, :3].astype(np.int32)
+                tab = thr_ovf_t
+                if tab.shape[1] < 3:  # (sigma-1)-wide entries, sigma < 4
+                    tab = np.pad(tab, ((0, 0), (0, 3 - tab.shape[1])))
+                thr[ri] = tab[tab_idx][:, :3].astype(np.int32)
         (cs,) = struct.unpack("<Q", f.read(8))
         counts = np.frombuffer(f.read(cs * 8), dtype="<u8").astype(np.int64)
         (ls,) = struct.unpack("<Q", f.read(8))

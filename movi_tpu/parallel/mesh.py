@@ -198,18 +198,12 @@ class ShardedPMLEngine:
         lengths_d = jax.device_put(jnp.asarray(lengths.astype(np.int32)),
                                    self.vec_sharding)
         if self.paired:
+            from ..engine.fused2 import pack_pairs
+
             fi = self.fi
-            slots = fi.sigma + 1
-            alphas = self.alphamap_query[seqs[:, ::-1]]
-            W = alphas.shape[1]
-            if W % 2:
-                alphas = np.concatenate(
-                    [alphas, np.full((alphas.shape[0], 1), fi.sigma,
-                                     alphas.dtype)], axis=1)
-            a12 = (alphas[:, 0::2].astype(np.int32) * slots
-                   + alphas[:, 1::2]).T
-            a12_d = jax.device_put(jnp.asarray(a12.astype(np.uint8)),
-                                   self.lane_sharding)
+            a12, W = pack_pairs(self.alphamap_query[seqs[:, ::-1]],
+                                fi.sigma)
+            a12_d = jax.device_put(jnp.asarray(a12), self.lane_sharding)
             return _pml_classify_scan_paired(
                 fi, a12_d, lengths_d, self.bin_width,
                 jnp.int32(self.max_value_thr), W)

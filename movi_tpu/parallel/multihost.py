@@ -67,12 +67,16 @@ def byte_range_reads(path: str, num_hosts: int, host_id: int
     """Parse only this host's byte range of a plain FASTA/FASTQ file.
     Ranges are [k*size/N, (k+1)*size/N) rounded to record boundaries, so
     concatenating the hosts' outputs in host order restores the file
-    order.  Gzipped inputs cannot be byte-addressed: falls back to
-    round-robin over a full parse."""
+    order.  Gzipped inputs cannot be byte-addressed: falls back to a
+    CONTIGUOUS block of a full parse (every host decompresses, but the
+    host-order merge still restores file order)."""
     if path.endswith(".gz"):
         from ..io.fastx import iter_fastx
 
-        yield from shard_reads(iter_fastx(path), num_hosts, host_id)
+        reads = list(iter_fastx(path))
+        lo = len(reads) * host_id // num_hosts
+        hi = len(reads) * (host_id + 1) // num_hosts
+        yield from reads[lo:hi]
         return
     size = os.path.getsize(path)
     lo = size * host_id // num_hosts
@@ -122,12 +126,6 @@ def byte_range_reads(path: str, num_hosts: int, host_id: int
                 yield name, b"".join(seq_parts)
 
 
-def shard_reads(reads: Iterator[Tuple[str, bytes]], num_hosts: int,
-                host_id: int) -> Iterator[Tuple[str, bytes]]:
-    """Round-robin fallback for non-seekable (gz) inputs."""
-    for i, r in enumerate(reads):
-        if i % num_hosts == host_id:
-            yield r
 
 
 def merged_counters(local: "np.ndarray") -> "np.ndarray":

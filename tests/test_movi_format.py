@@ -256,3 +256,38 @@ def test_split_table_mmap_pair(bwt_runs, tmp_path, mode):
         assert np.array_equal(getattr(back, fld), getattr(ix, fld)), fld
     if ix.thr is not None:
         assert np.array_equal(back.thr, ix.thr)
+
+
+@requires_ref_data
+def test_threshold_overflow_wide_alphabet(tmp_path):
+    """Overflow entries are (sigma-1) u64 wide (move_structure_io.cpp:
+    197-199), not a fixed 3 -- regression for separators-alphabet
+    (sigma=5) indexes."""
+    import dataclasses
+
+    from movi_tpu.build.prepare_ref import prepare_ref
+    from movi_tpu.build.suffix import build_bwt_runs
+    from movi_tpu.constants import SEPARATOR
+
+    ref = prepare_ref(os.path.join(REF_DATA, "ref.fasta"), separators=True)
+    ix = build_move_index(build_bwt_runs(ref.text), "large",
+                          separators=True)
+    thr = ix.thr.copy()
+    n64 = ix.n_arr.astype(np.int64)
+    sep = ix.alphabet[ix.c_arr] == SEPARATOR
+    cand = np.flatnonzero((n64 >= 4) & ~sep
+                          & (np.arange(ix.r) != ix.end_bwt_idx)
+                          & (np.arange(ix.r) != 0))[:20]
+    assert len(cand) >= 5
+    thr[cand, 0] = 1
+    thr[cand, 1] = 2
+    thr[cand, 2] = 3
+    ix2 = dataclasses.replace(ix, thr=thr)
+    p = str(tmp_path / "index.movi")
+    write_movi(ix2, p)
+    base = str(tmp_path / "plain.movi")
+    write_movi(ix, base)
+    assert (os.path.getsize(p) - os.path.getsize(base)
+            == len(cand) * (ix.sigma - 1) * 8)
+    back = read_movi(p)
+    assert np.array_equal(back.thr, thr)

@@ -128,3 +128,23 @@ def test_two_process_distributed_merge(tmp_path):
     assert len(r1.splitlines()) > 1
     # shards were cleaned up after the merge
     assert not os.path.exists(p2 + ".bpf.part0")
+
+
+@pytest.mark.parametrize("num_hosts", [2, 3])
+def test_byte_range_gz_preserves_order(tmp_path, num_hosts):
+    """Gzipped inputs shard into CONTIGUOUS blocks so the host-order
+    merge still restores file order (regression: round-robin scrambled
+    the merged output)."""
+    import gzip
+
+    rng = np.random.default_rng(6)
+    reads = _mkreads(19, rng)
+    path = str(tmp_path / "reads.fastq.gz")
+    body = "".join(f"@{n}\n{s}\n+\n{'I' * len(s)}\n" for n, s in reads)
+    with gzip.open(path, "wt") as f:
+        f.write(body)
+    got = []
+    for h in range(num_hosts):
+        got.extend((n, s.decode()) for n, s in
+                   byte_range_reads(path, num_hosts, h))
+    assert got == reads

@@ -183,12 +183,22 @@ def cmd_build(args):
     if args.mmap:
         ix.save_mmap(os.path.join(args.index, "index.mmap"))
         _log("wrote mmap layout index.mmap/")
-    if args.fused_cache:
+    if args.fused_cache or args.paired_cache:
         from .engine.fused import build_fused_index, save_fused_index
 
-        save_fused_index(build_fused_index(ix),
+        fi_c = build_fused_index(ix)
+        save_fused_index(fi_c,
                          os.path.join(args.index, "fused_records.npz"))
         _log("wrote fused step records (query startup skips the rebuild)")
+        if args.paired_cache:
+            from .engine.fused2 import (build_fused2_index,
+                                        save_fused2_index)
+
+            save_fused2_index(build_fused2_index(fi_c),
+                              os.path.join(args.index,
+                                           "paired_records.npz"))
+            _log("wrote paired step records (query --paired-records "
+                 "skips the compose)")
 
     if args.ftab_k > 1:
         from .cpu_ref.advanced import AdvancedEngine
@@ -670,9 +680,21 @@ def cmd_query(args):
                     save_fused_index(fi, cache)  # refresh the stale cache
             if args.paired_records:
                 from .engine.fused2 import (Fused2PMLEngine,
-                                            build_fused2_index)
+                                            build_fused2_index,
+                                            load_fused2_index)
 
-                eng = Fused2PMLEngine(build_fused2_index(fi))
+                cache2 = os.path.join(args.index, "paired_records.npz")
+                f2 = None
+                if os.path.exists(cache2):
+                    try:
+                        f2 = load_fused2_index(cache2)
+                    except ValueError as e:
+                        from .commons import warning
+
+                        warning(f"{e}; recomposing")
+                if f2 is None:
+                    f2 = build_fused2_index(fi)
+                eng = Fused2PMLEngine(f2)
                 _log("using the paired-record engine "
                      "(one gather per two bases)")
             else:
@@ -1120,6 +1142,10 @@ def main(argv=None):
     b.add_argument("--fused-cache", action="store_true",
                    help="precompute and store the fused step records "
                         "(skips the per-process rebuild at query time)")
+    b.add_argument("--paired-cache", action="store_true",
+                   help="also store the paired two-base records (query "
+                        "--paired-records skips the compose; ~10x the "
+                        "fused cache size)")
     b.add_argument("--checkpoint", type=int, default=20,
                    help="tally id checkpoint spacing for sampled modes "
                         "(reference --checkpoint, default 20)")

@@ -279,6 +279,32 @@ def _fused2_decode(rec: jax.Array, offset: jax.Array, p_dollar):
     return new_idx, new_off, match1, match2, hi, ff, down, kind
 
 
+_FUSED2_FMT = 1  # on-disk cache format
+
+
+def save_fused2_index(f2: Fused2Index, path: str):
+    """Persist the composed paired records (build --paired-cache), the
+    analogue of engine/fused.py's save_fused_index."""
+    np.savez(path, records=np.asarray(f2.records),
+             meta=np.array([f2.r, f2.sigma, f2.start_idx, f2.start_offset,
+                            f2.p_dollar[0], f2.p_dollar[1], _FUSED2_FMT],
+                           dtype=np.int64),
+             alphamap_query=f2.alphamap_query)
+
+
+def load_fused2_index(path: str) -> Fused2Index:
+    z = np.load(path)
+    meta = [int(x) for x in z["meta"]]
+    if len(meta) < 7 or meta[6] != _FUSED2_FMT:
+        raise ValueError(f"{path}: stale paired-record cache; rebuild "
+                         f"with `build --paired-cache`")
+    r, sigma, start_idx, start_offset, pd_run, pd_off = meta[:6]
+    return Fused2Index(r=r, sigma=sigma, records=jnp.asarray(z["records"]),
+                       start_idx=start_idx, start_offset=start_offset,
+                       p_dollar=(pd_run, pd_off),
+                       alphamap_query=z["alphamap_query"])
+
+
 def fused2_step(records: jax.Array, slots: int, p_dollar, state, a12):
     """Two PML base steps from a single 16-byte gather.
     a12 = a1 * slots + a2.  Emits (ml1, ml2)."""

@@ -136,3 +136,22 @@ def test_cli_build_keep_resume(tmp_path):
     assert sorted(first) == sorted(second)
     for k in first:
         assert np.array_equal(first[k], second[k]), k
+
+
+@requires_ref_data
+def test_cli_paired_cache(tmp_path):
+    """build --paired-cache persists the composed paired records;
+    query --paired-records loads them and hits the golden."""
+    idx = str(tmp_path / "idx")
+    r = _run(["build", "--fasta", os.path.join(REF_DATA, "ref.fasta"),
+              "--index", idx, "--skip-null", "--paired-cache"])
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(os.path.join(idx, "paired_records.npz"))
+    r = _run(["query", "--index", idx,
+              "--read", os.path.join(REF_DATA, "sample.fastq"),
+              "--pml", "--stdout", "--platform", "cpu",
+              "--paired-records"])
+    assert r.returncode == 0, r.stderr
+    got = sorted(r.stdout.splitlines(), key=str.encode)
+    with open(os.path.join(REF_DATA, "sample.fastq.pmls.sorted")) as f:
+        assert got == f.read().splitlines()

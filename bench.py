@@ -199,10 +199,35 @@ def build_large():
     return fi, reads, base
 
 
+def ensure_native_built():
+    """Self-build native/libmovi_native.so when absent so the recorded
+    vs_baseline is MEASURED (the driver runs `python bench.py` without
+    `make -C native`; the .so is gitignored).  Graceful fallback: on any
+    build failure the caller falls back to the literature constant."""
+    import subprocess
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    native = os.path.join(here, "native")
+    so = os.path.join(native, "libmovi_native.so")
+    if os.path.exists(so):
+        return
+    for cmd in (["make", "-C", native],
+                ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC",
+                 "-shared", "-o", so,
+                 os.path.join(native, "movi_native.cpp"), "-lz"]):
+        try:
+            p = subprocess.run(cmd, capture_output=True, timeout=300)
+            if p.returncode == 0 and os.path.exists(so):
+                return
+        except Exception:
+            pass
+
+
 def measure_native_baseline(fi, base, reads):
     """Single-core scalar PML rate on the same index + reads (bases/s)."""
     from movi_tpu.cpu_ref.native_pml import _load
 
+    ensure_native_built()
     lib = _load()
     if not lib:
         return None

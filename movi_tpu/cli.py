@@ -775,7 +775,7 @@ def cmd_query(args):
     # classification
     classifier = None
     report_lines = []
-    found_map = {}
+    found_list = []  # positional, aligned with reads/results
     if args.classify:
         from .classify import (Classifier, EmpNullDatabase,
                                format_report_header, format_report_line)
@@ -789,13 +789,15 @@ def cmd_query(args):
     out_prefix = (args.out_file if args.out_file
                   else f"{args.read}.{index_type}") + f".{qt}"
 
-    seq_by_name = dict(reads)
+    # results are index-aligned with reads (batches preserve order), so
+    # read lengths pair positionally -- duplicate read NAMES are legal in
+    # fastq and must each report their own length in .matches lines
     lines_out = []
-    for name, res in results:
+    for (name, res), (_, seq) in zip(results, reads):
         if qt in ("pml", "zml"):
             if classifier:
                 found, avg, above, below = classifier.classify(res)
-                found_map[name] = found
+                found_list.append(found)
                 from .classify import format_report_line
                 report_lines.append(
                     format_report_line(name, found, avg, above, below))
@@ -803,11 +805,10 @@ def cmd_query(args):
                 lines_out.extend(pml_stdout_lines(name, res))
         else:
             pos, cnt = res
-            lines_out.append(count_line(name, len(seq_by_name[name]), pos, cnt))
+            lines_out.append(count_line(name, len(seq), pos, cnt))
 
     if args.filter and classifier:
-        for name, seq in reads:
-            f = found_map.get(name, False)
+        for (name, seq), f in zip(reads, found_list):
             if (f and not args.invert) or (not f and args.invert):
                 print(f">{name}")
                 print(seq.decode())

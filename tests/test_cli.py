@@ -155,3 +155,34 @@ def test_cli_paired_cache(tmp_path):
     got = sorted(r.stdout.splitlines(), key=str.encode)
     with open(os.path.join(REF_DATA, "sample.fastq.pmls.sorted")) as f:
         assert got == f.read().splitlines()
+
+
+def test_cli_count_duplicate_read_names(tmp_path):
+    """Duplicate read NAMES are legal in fastq; each .matches line must
+    report its own read's length (lengths pair positionally, not by
+    name)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    ref = "".join(rng.choice(list("ACGT"), size=1200))
+    fasta = str(tmp_path / "ref.fa")
+    with open(fasta, "w") as f:
+        f.write(f">r\n{ref}\n")
+    reads = str(tmp_path / "reads.fa")
+    with open(reads, "w") as f:
+        f.write(f">dup\n{ref[100:160]}\n")   # length 60
+        f.write(f">dup\n{ref[300:330]}\n")   # length 30
+
+    idx = str(tmp_path / "idx")
+    r = _run(["build", "--fasta", fasta, "--index", idx, "--skip-null"])
+    assert r.returncode == 0, r.stderr
+    out = str(tmp_path / "out")
+    r = _run(["query", "--index", idx, "--read", reads, "--count",
+              "--platform", "cpu", "--out-file", out])
+    assert r.returncode == 0, r.stderr
+    with open(out + ".count.matches") as f:
+        lines = f.read().splitlines()
+    assert len(lines) == 2
+    # "name  matched/len  count": the len field must differ per read
+    assert "/60" in lines[0].split()[1]
+    assert "/30" in lines[1].split()[1]

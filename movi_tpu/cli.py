@@ -199,6 +199,14 @@ def cmd_build(args):
                                            "paired_records.npz"))
             _log("wrote paired step records (query --paired-records "
                  "skips the compose)")
+            from .engine.fused_search2 import (build_fused_search2_index,
+                                               save_fused_search2_index)
+
+            save_fused_search2_index(
+                build_fused_search2_index(ix),
+                os.path.join(args.index, "paired_search_records.npz"))
+            _log("wrote paired search records (count/zml "
+                 "--paired-records skips the compose)")
 
     if args.ftab_k > 1:
         from .cpu_ref.advanced import AdvancedEngine
@@ -701,14 +709,36 @@ def cmd_query(args):
                 eng = FusedPMLEngine(fi)
                 _log("using the fused single-gather engine")
         elif qt in ("count", "zml") and bounded:
-            from .engine.fused_search import (FusedCountEngine,
-                                              FusedZMLEngine,
-                                              build_fused_search_index)
+            if args.paired_records:
+                from .engine.fused_search2 import (
+                    Fused2CountEngine, Fused2ZMLEngine,
+                    build_fused_search2_index, load_fused_search2_index)
 
-            si = build_fused_search_index(ix)
-            eng = (FusedCountEngine(si) if qt == "count"
-                   else FusedZMLEngine(si))
-            _log("using the fused search engine")
+                cache2 = os.path.join(args.index,
+                                      "paired_search_records.npz")
+                s2 = None
+                if os.path.exists(cache2):
+                    try:
+                        s2 = load_fused_search2_index(cache2)
+                    except ValueError as e:
+                        from .commons import warning
+
+                        warning(f"{e}; recomposing")
+                if s2 is None:
+                    s2 = build_fused_search2_index(ix)
+                eng = (Fused2CountEngine(s2) if qt == "count"
+                       else Fused2ZMLEngine(s2))
+                _log("using the paired search engine "
+                     "(one record gather per base)")
+            else:
+                from .engine.fused_search import (FusedCountEngine,
+                                                  FusedZMLEngine,
+                                                  build_fused_search_index)
+
+                si = build_fused_search_index(ix)
+                eng = (FusedCountEngine(si) if qt == "count"
+                       else FusedZMLEngine(si))
+                _log("using the fused search engine")
         if eng is None:
             from .engine.device_index import build_device_index
             from .engine.pml import PMLEngine

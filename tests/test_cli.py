@@ -186,3 +186,35 @@ def test_cli_count_duplicate_read_names(tmp_path):
     # "name  matched/len  count": the len field must differ per read
     assert "/60" in lines[0].split()[1]
     assert "/30" in lines[1].split()[1]
+
+
+@requires_ref_data
+def test_cli_paired_search_parity(tmp_path):
+    """count/zml --paired-records output is byte-identical to the
+    one-step fused search engine's, and the build --paired-cache search
+    records are picked up."""
+    idx = str(tmp_path / "idx")
+    r = _run(["build", "--fasta", os.path.join(REF_DATA, "ref.fasta"),
+              "--index", idx, "--skip-null", "--paired-cache"])
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(os.path.join(idx, "paired_search_records.npz"))
+    sample = os.path.join(REF_DATA, "sample.fastq")
+
+    def counts(extra):
+        out = str(tmp_path / "out")
+        r = _run(["query", "--index", idx, "--read", sample, "--count",
+                  "--platform", "cpu", "--out-file", out] + extra)
+        assert r.returncode == 0, r.stderr
+        with open(out + ".count.matches") as f:
+            return f.read(), r.stderr
+    want, _ = counts([])
+    got, err = counts(["--paired-records"])
+    assert "paired search engine" in err
+    assert got == want
+
+    def zml(extra):
+        r = _run(["query", "--index", idx, "--read", sample, "--zml",
+                  "--stdout", "--platform", "cpu"] + extra)
+        assert r.returncode == 0, r.stderr
+        return r.stdout
+    assert zml(["--paired-records"]) == zml([])

@@ -139,6 +139,136 @@ def tpu_rate_paired(f2, reads, reps):
     return lanes * read_len / dt
 
 
+# measured per-row-width gather ceilings on this chip (dependent-index
+# scan pattern, docs/PERF.md section 1; 24 B re-measured 2026-08: 74.8 M
+# rows/s, width 5 vs 6 words identical)
+CEIL_8B = 90.0e6
+CEIL_16B = 84.0e6
+CEIL_24B = 74.8e6
+
+
+def tpu_rate_search(s2, reads, reps, kind):
+    """Timed paired-search throughput (bases/sec): count or zml at one
+    composed 24 B record gather per base (engine/fused_search2.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from movi_tpu.engine.fused_search2 import (_count2_init,
+                                               _count_pair_body,
+                                               _zml_pair_body,
+                                               pack_search_pairs)
+
+    lanes, read_len = reads.shape
+    alphas = s2.alphamap_query[reads[:, ::-1]]
+    a0 = jnp.asarray(alphas[:, 0].astype(np.int32))
+    pairs, _ = pack_search_pairs(alphas[:, 1:], s2.sigma)
+    pairs_t = jnp.asarray(pairs)
+
+    if kind == "count":
+        @jax.jit
+        def run_reps(s2x, a0, pairs_t):
+            def onebatch(k, acc):
+                state = _count2_init(s2x, (a0 + k) % s2x.sigma)
+                state, _ = jax.lax.scan(_count_pair_body(s2x), state,
+                                        pairs_t.astype(jnp.int32))
+                return (acc + state["matched"].astype(jnp.int64).sum()
+                        + state["rs"].astype(jnp.int64).sum())
+            return jax.lax.fori_loop(0, reps, onebatch, jnp.int64(0))
+    else:
+        @jax.jit
+        def run_reps(s2x, a0, pairs_t):
+            body = _zml_pair_body(s2x)
+
+            def onebatch(k, acc):
+                zero = jnp.zeros((lanes,), jnp.int32)
+                state = dict(rs=zero, os=zero, re=zero, oe=zero,
+                             have=jnp.zeros((lanes,), bool), ml=zero)
+                # perturb the first packed pair per rep (stays in the
+                # legal 6-bit range) to defeat loop-invariant hoisting
+                p0 = (pairs_t[0].astype(jnp.int32) + k) % 64
+                xs = jnp.concatenate(
+                    [p0[None], pairs_t[1:].astype(jnp.int32)])
+                state, (ml1, ml2) = jax.lax.scan(body, state, xs)
+                return (acc + ml1.astype(jnp.int64).sum()
+                        + ml2.astype(jnp.int64).sum()
+                        + state["ml"].astype(jnp.int64).sum())
+            return jax.lax.fori_loop(0, reps, onebatch, jnp.int64(0))
+
+    _ = np.asarray(run_reps(s2, a0, pairs_t))  # compile + warm
+    t0 = time.time()
+    _ = int(np.asarray(run_reps(s2, a0, pairs_t)))
+    dt = (time.time() - t0) / reps
+    return lanes * read_len / dt
+
+
+def tpu_rate_color_paired(f2c, reads, reps):
+    """Timed paired Movi Color throughput: PML + per-base color ids at
+    one 32 B gather per TWO bases (engine/fused2.py color records)."""
+    import jax
+    import jax.numpy as jnp
+
+    from movi_tpu.engine.fused2 import fused2_color_step, pack_pairs
+
+    slots = f2c.sigma + 1
+    lanes, read_len = reads.shape
+    a12, _ = pack_pairs(f2c.alphamap_query[reads[:, ::-1]], f2c.sigma)
+    a12_t = jnp.asarray(a12)
+
+    @jax.jit
+    def run_reps(f2x, a12_t):
+        a12_32 = a12_t.astype(jnp.int32)
+
+        def onebatch(k, acc):
+            st = (jnp.full((lanes,), f2x.start_idx, jnp.int32),
+                  jnp.full((lanes,), f2x.start_offset, jnp.int32),
+                  jnp.zeros((lanes,), jnp.int32))
+
+            def step(s, a):
+                return fused2_color_step(f2x.records, slots,
+                                         f2x.p_dollar, s, a)
+
+            a0 = jnp.where(jnp.arange(lanes) == 0,
+                           (a12_32[0] + k) % (slots * slots), a12_32[0])
+            st, (ml1, ml2, c1, c2) = jax.lax.scan(
+                step, st, jnp.concatenate([a0[None], a12_32[1:]]))
+            return (acc + ml1.astype(jnp.int64).sum()
+                    + ml2.astype(jnp.int64).sum()
+                    + c1.astype(jnp.int64).sum()
+                    + c2.astype(jnp.int64).sum())
+
+        return jax.lax.fori_loop(0, reps, onebatch, jnp.int64(0))
+
+    _ = np.asarray(run_reps(f2c, a12_t))
+    t0 = time.time()
+    _ = int(np.asarray(run_reps(f2c, a12_t)))
+    dt = (time.time() - t0) / reps
+    return lanes * read_len / dt
+
+
+def load_large_move_index():
+    """The full MoveIndex of the HBM-scale synthetic text (cached): the
+    paired search compose needs the next-run tables, which the fused
+    cache does not carry."""
+    from movi_tpu.index.structure import MoveIndex, build_move_index
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"hbm_{HBM_TEXT}.index.npz")
+    if os.path.exists(path):
+        try:
+            return MoveIndex.load(path)
+        except Exception:
+            pass
+    from movi_tpu.build.suffix import build_bwt_runs
+
+    rng = np.random.default_rng(0)
+    text = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
+                      size=HBM_TEXT)
+    ix = build_move_index(build_bwt_runs(text), "regular-thresholds",
+                          bound_ff=1)
+    ix.save(path)
+    return ix
+
+
 def build_small():
     from movi_tpu.build.prepare_ref import prepare_ref
     from movi_tpu.build.suffix import build_bwt_runs
@@ -268,12 +398,15 @@ def _enable_compile_cache():
 
 
 def main():
+    import gc
+
     _enable_compile_cache()
     out = {}
 
     fi_hbm, reads_hbm, base = build_large()
     out["hbm_index_runs"] = int(fi_hbm.r)
     out["record_bytes_per_row"] = 8 * (fi_hbm.sigma + 1)
+    sigma = fi_hbm.sigma
 
     baseline = measure_native_baseline(fi_hbm, base, reads_hbm)
     if baseline is None:
@@ -284,6 +417,7 @@ def main():
 
     hbm_rate = tpu_rate(fi_hbm, reads_hbm, REPS_HBM)
     out["hbm_single_gather_bases_per_sec"] = round(hbm_rate, 1)
+    out["single_gather_ceiling_fraction"] = round(hbm_rate / CEIL_8B, 3)
 
     if os.environ.get("BENCH_PAIRED", "1") != "0":
         # paired 16 B records: one gather per TWO bases (the speed
@@ -293,8 +427,57 @@ def main():
         f2 = build_fused2_index(fi_hbm)
         paired_rate = tpu_rate_paired(f2, reads_hbm, REPS_HBM)
         out["hbm_paired_gather_bases_per_sec"] = round(paired_rate, 1)
-        out["paired_record_bytes_per_row"] = 16 * (f2.sigma + 1) ** 2
+        out["paired_record_bytes_per_row"] = 16 * (sigma + 1) ** 2
+        out["paired_gather_ceiling_fraction"] = round(
+            paired_rate / 2 / CEIL_16B, 3)
         hbm_rate = max(hbm_rate, paired_rate)
+
+        # paired Movi Color (32 B records, one gather per two bases).
+        # The color ids are synthetic (random < 2^16): the gather cost
+        # -- the thing measured -- is independent of the coloring.
+        if os.environ.get("BENCH_COLOR", "1") != "0":
+            import jax.numpy as jnp
+
+            from movi_tpu.engine.fused2 import _compose_jit
+
+            rngc = np.random.default_rng(9)
+            cids = jnp.asarray(rngc.integers(
+                0, 60000, size=fi_hbm.r).astype(np.int32))
+            crecords, _ = _compose_jit(fi_hbm.records, r=fi_hbm.r,
+                                       slots=sigma + 1,
+                                       p_dollar=fi_hbm.p_dollar,
+                                       cids=cids)
+            from movi_tpu.engine.fused2 import Fused2Index
+
+            f2c = Fused2Index(r=fi_hbm.r, sigma=sigma, records=crecords,
+                              start_idx=f2.start_idx,
+                              start_offset=f2.start_offset,
+                              p_dollar=f2.p_dollar,
+                              alphamap_query=f2.alphamap_query)
+            del crecords, cids
+            color_rate = tpu_rate_color_paired(f2c, reads_hbm, REPS_HBM)
+            out["hbm_color_paired_bases_per_sec"] = round(color_rate, 1)
+            del f2c
+        del f2
+        gc.collect()
+
+    if os.environ.get("BENCH_SEARCH", "1") != "0":
+        # paired backward-search records: count and ZML at one composed
+        # 24 B record gather per base (engine/fused_search2.py)
+        from movi_tpu.engine.fused_search2 import build_fused_search2_index
+
+        ix_hbm = load_large_move_index()
+        s2 = build_fused_search2_index(ix_hbm)
+        del ix_hbm
+        out["hbm_count_bases_per_sec"] = round(
+            tpu_rate_search(s2, reads_hbm, REPS_HBM, "count"), 1)
+        out["hbm_zml_bases_per_sec"] = round(
+            tpu_rate_search(s2, reads_hbm, REPS_HBM, "zml"), 1)
+        out["paired_search_bytes_per_run"] = 2 * 24 * sigma * sigma
+        out["count_gather_ceiling_fraction"] = round(
+            out["hbm_count_bases_per_sec"] / CEIL_24B, 3)
+        del s2
+        gc.collect()
 
     fi_small, text_small = build_small()
     reads_small = make_reads(text_small, LANES, READ_LEN, seed=42)

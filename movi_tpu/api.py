@@ -57,7 +57,9 @@ class Index:
         self._runs = bwt_runs
         self._scalar = None
         self._fused_pml = None
+        self._paired_pml = None
         self._fused_search = None
+        self._paired_search = None
         self._fused_mem = None
         self._bounded = None
 
@@ -73,13 +75,70 @@ class Index:
                               bound_ff=bound_ff)
         return cls(ix, bwt_runs=runs)
 
-    def save(self, index_dir: str):
+    def save(self, index_dir: str, engine_caches: bool = True):
+        """Persist index.npz plus the precomputed engine record caches
+        (the analogue of the reference shipping its packed rlbwt inside
+        index.movi): a later Index.load skips the O(r*sigma) fused
+        rebuild and any paired recompose."""
         os.makedirs(index_dir, exist_ok=True)
         self.ix.save(os.path.join(index_dir, "index.npz"))
+        if not engine_caches:
+            return
+        if (self._fused_pml is None and self.ix.thr is not None
+                and self._is_bounded()):
+            self._ensure_fused()  # materialize the records once
+        if self._fused_pml is not None:
+            from .engine.fused import save_fused_index
+
+            save_fused_index(self._fused_pml.fi,
+                             os.path.join(index_dir, "fused_records.npz"))
+        if self._paired_pml is not None:
+            from .engine.fused2 import save_fused2_index
+
+            save_fused2_index(self._paired_pml.fi,
+                              os.path.join(index_dir,
+                                           "paired_records.npz"))
+        if self._paired_search is not None:
+            from .engine.fused_search2 import save_fused_search2_index
+
+            save_fused_search2_index(
+                self._paired_search[0].s2,
+                os.path.join(index_dir, "paired_search_records.npz"))
 
     @classmethod
     def load(cls, index_dir: str) -> "Index":
-        return cls(MoveIndex.load(os.path.join(index_dir, "index.npz")))
+        self = cls(MoveIndex.load(os.path.join(index_dir, "index.npz")))
+        fused = os.path.join(index_dir, "fused_records.npz")
+        if os.path.exists(fused):
+            try:
+                from .engine.fused import FusedPMLEngine, load_fused_index
+
+                self._fused_pml = FusedPMLEngine(load_fused_index(fused))
+            except ValueError:
+                pass  # stale cache format: rebuild lazily
+        paired = os.path.join(index_dir, "paired_records.npz")
+        if os.path.exists(paired):
+            try:
+                from .engine.fused2 import (Fused2PMLEngine,
+                                            load_fused2_index)
+
+                self._paired_pml = Fused2PMLEngine(
+                    load_fused2_index(paired))
+            except ValueError:
+                pass
+        ps = os.path.join(index_dir, "paired_search_records.npz")
+        if os.path.exists(ps):
+            try:
+                from .engine.fused_search2 import (
+                    Fused2CountEngine, Fused2ZMLEngine,
+                    load_fused_search2_index)
+
+                s2 = load_fused_search2_index(ps)
+                self._paired_search = (Fused2CountEngine(s2),
+                                       Fused2ZMLEngine(s2))
+            except ValueError:
+                pass
+        return self
 
     # --------------------------------------------------------- engines
     @property
@@ -100,23 +159,52 @@ class Index:
         return self._bounded
 
     # --------------------------------------------------------- queries
-    def query_pml(self, reads: Reads, lanes: int = 8192, jax: bool = True):
-        if jax and self.ix.thr is not None and self._is_bounded():
-            if self._fused_pml is None:
-                from .engine.fused import FusedPMLEngine, build_fused_index
+    def _ensure_fused(self):
+        if self._fused_pml is None:
+            from .engine.fused import FusedPMLEngine, build_fused_index
 
-                self._fused_pml = FusedPMLEngine(build_fused_index(self.ix))
+            self._fused_pml = FusedPMLEngine(build_fused_index(self.ix))
+        return self._fused_pml
+
+    def query_pml(self, reads: Reads, lanes: int = 8192, jax: bool = True,
+                  paired: Optional[bool] = None):
+        """paired: True forces the paired two-base records, False the
+        one-step layout; None auto-selects by capacity (engine/select)."""
+        if jax and self.ix.thr is not None and self._is_bounded():
+            from .engine.select import use_paired_pml
+
+            if use_paired_pml(self.ix.r, self.ix.sigma, force=paired):
+                if self._paired_pml is None:
+                    from .engine.fused2 import (Fused2PMLEngine,
+                                                build_fused2_index)
+
+                    self._paired_pml = Fused2PMLEngine(
+                        build_fused2_index(self._ensure_fused().fi))
+                eng = self._paired_pml
+            else:
+                eng = self._ensure_fused()
             out = []
             for batch in _as_batches(reads, lanes):
-                out.extend(zip(batch.names,
-                               self._fused_pml.query_batch(batch)))
+                out.extend(zip(batch.names, eng.query_batch(batch)))
             return out
         reads = _as_reads(reads)
         rand = self.ix.thr is None
         return [(n, self.scalar.query_pml(s, random_repositioning=rand))
                 for n, s in reads]
 
-    def _search_engines(self):
+    def _search_engines(self, paired: Optional[bool] = None):
+        from .engine.select import use_paired_search
+
+        if use_paired_search(self.ix.r, self.ix.sigma, force=paired):
+            if self._paired_search is None:
+                from .engine.fused_search2 import (
+                    Fused2CountEngine, Fused2ZMLEngine,
+                    build_fused_search2_index)
+
+                s2 = build_fused_search2_index(self.ix)
+                self._paired_search = (Fused2CountEngine(s2),
+                                       Fused2ZMLEngine(s2))
+            return self._paired_search
         if self._fused_search is None:
             from .engine.fused_search import (FusedCountEngine,
                                               FusedZMLEngine,
@@ -126,9 +214,10 @@ class Index:
             self._fused_search = (FusedCountEngine(si), FusedZMLEngine(si))
         return self._fused_search
 
-    def query_count(self, reads: Reads, lanes: int = 8192, jax: bool = True):
+    def query_count(self, reads: Reads, lanes: int = 8192, jax: bool = True,
+                    paired: Optional[bool] = None):
         if jax and self._is_bounded():
-            ce, _ = self._search_engines()
+            ce, _ = self._search_engines(paired)
             out = []
             for batch in _as_batches(reads, lanes):
                 out.extend(zip(batch.names, ce.query_batch(batch)))
@@ -136,9 +225,10 @@ class Index:
         reads = _as_reads(reads)
         return [(n, self.scalar.query_count(s)) for n, s in reads]
 
-    def query_zml(self, reads: Reads, lanes: int = 8192, jax: bool = True):
+    def query_zml(self, reads: Reads, lanes: int = 8192, jax: bool = True,
+                  paired: Optional[bool] = None):
         if jax and self._is_bounded():
-            _, ze = self._search_engines()
+            _, ze = self._search_engines(paired)
             out = []
             for batch in _as_batches(reads, lanes):
                 out.extend(zip(batch.names, ze.query_batch(batch)))
@@ -170,9 +260,28 @@ class Index:
         return [(n, eng.query_mems(s, min_mem_length)) for n, s in reads]
 
     def query_kmers(self, reads: Reads, k: int = 31, counts: bool = False,
-                    lanes: int = 8192, jax: bool = True):
+                    lanes: int = 8192, jax: bool = True,
+                    paired: Optional[bool] = None):
         reads = _as_reads(reads)
         if jax and counts and self._is_bounded():
+            from .engine.select import use_paired_search
+
+            if use_paired_search(self.ix.r, self.ix.sigma, force=paired):
+                from .engine.fused_search2 import (
+                    Fused2KmerCountEngine, build_fused_search2_index)
+
+                if self._paired_search is None:
+                    from .engine.fused_search2 import (Fused2CountEngine,
+                                                       Fused2ZMLEngine)
+
+                    s2 = build_fused_search2_index(self.ix)
+                    self._paired_search = (Fused2CountEngine(s2),
+                                           Fused2ZMLEngine(s2))
+                eng = Fused2KmerCountEngine(self._paired_search[0].s2, k)
+                out = []
+                for batch in make_batches(reads, lanes=lanes):
+                    out.extend(zip(batch.names, eng.query_batch(batch)))
+                return out
             from .engine.fused_kmer import FusedKmerCountEngine
             from .engine.fused_search import build_fused_search_index
 

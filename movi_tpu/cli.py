@@ -312,14 +312,28 @@ def _query_type(args):
     raise SystemExit("specify one of --pml/--zml/--count/--mem/--kmer")
 
 
+def _paired_force(args):
+    """--paired-records forces the paired engines, --no-paired-records
+    the one-step ones; default None = capacity auto-selection
+    (engine/select.py)."""
+    if getattr(args, "paired_records", False):
+        return True
+    if getattr(args, "no_paired_records", False):
+        return False
+    return None
+
+
 def _enable_compile_cache(index_dir: str):
     """Persistent XLA compile cache in the index dir: first TPU compiles
-    cost 20-160 s through the relay; reloads are near-instant."""
+    cost 20-160 s through the relay; reloads are near-instant.
+    MOVI_TPU_COMPILE_CACHE overrides the location (the test suite shares
+    one cache across its many throwaway index dirs)."""
     try:
         import jax
 
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(index_dir, ".xla_cache"))
+        cache = os.environ.get("MOVI_TPU_COMPILE_CACHE") or os.path.join(
+            index_dir, ".xla_cache")
+        jax.config.update("jax_compilation_cache_dir", cache)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
     except Exception:
         pass
@@ -435,8 +449,10 @@ def cmd_query(args):
                 min_diff_frac=args.min_diff_frac,
                 min_score_frac=args.min_score_frac,
                 early_stop=args.early_stop)
-            if (args.paired_records
-                    and len(ct.unique_doc_sets) + 1 <= 0xFFFF):
+            from .engine.select import use_paired_color
+
+            if use_paired_color(ix.r, ix.sigma, len(ct.unique_doc_sets),
+                                force=_paired_force(args)):
                 from .engine.fused import build_fused_index
                 from .engine.fused2 import (Fused2ColorEngine,
                                             build_fused2_color_index)
@@ -578,12 +594,24 @@ def cmd_query(args):
 
             if args.platform:
                 _jax.config.update("jax_platforms", args.platform)
-            from .engine.fused_kmer import FusedKmerCountEngine
-            from .engine.fused_search import build_fused_search_index
+            from .engine.select import use_paired_search
             from .io.fastx import make_batches as _mb
 
-            _log("using the fused kmer-count engine")
-            eng = FusedKmerCountEngine(build_fused_search_index(ix), args.k)
+            if use_paired_search(ix.r, ix.sigma,
+                                 force=_paired_force(args)):
+                from .engine.fused_search2 import (
+                    Fused2KmerCountEngine, build_fused_search2_index)
+
+                _log("using the paired kmer-count engine")
+                eng = Fused2KmerCountEngine(
+                    build_fused_search2_index(ix), args.k)
+            else:
+                from .engine.fused_kmer import FusedKmerCountEngine
+                from .engine.fused_search import build_fused_search_index
+
+                _log("using the fused kmer-count engine")
+                eng = FusedKmerCountEngine(
+                    build_fused_search_index(ix), args.k)
             lines = []
             for batch in _mb(reads, lanes=args.lanes):
                 for name, L, (found, total) in zip(batch.names, batch.lengths,
@@ -686,7 +714,9 @@ def cmd_query(args):
                 fi = build_fused_index(ix)
                 if os.path.exists(cache):
                     save_fused_index(fi, cache)  # refresh the stale cache
-            if args.paired_records:
+            from .engine.select import use_paired_pml
+
+            if use_paired_pml(ix.r, ix.sigma, force=_paired_force(args)):
                 from .engine.fused2 import (Fused2PMLEngine,
                                             build_fused2_index,
                                             load_fused2_index)
@@ -709,7 +739,10 @@ def cmd_query(args):
                 eng = FusedPMLEngine(fi)
                 _log("using the fused single-gather engine")
         elif qt in ("count", "zml") and bounded:
-            if args.paired_records:
+            from .engine.select import use_paired_search
+
+            if use_paired_search(ix.r, ix.sigma,
+                                 force=_paired_force(args)):
                 from .engine.fused_search2 import (
                     Fused2CountEngine, Fused2ZMLEngine,
                     build_fused_search2_index, load_fused_search2_index)
@@ -1212,9 +1245,14 @@ def main(argv=None):
                    help="jax platform override (cpu/tpu)")
     q.add_argument("--lanes", type=int, default=8192)
     q.add_argument("--paired-records", action="store_true",
-                   help="PML with 16 B two-base records (one gather per "
-                        "two bases; ~10x index memory -- the speed "
-                        "layout for indexes up to ~2e7 runs)")
+                   help="force the paired two-base record engines (one "
+                        "gather per two bases for PML/color, one per "
+                        "base for count/zml; ~10-20x index memory). "
+                        "Default: auto-selected when the table fits "
+                        "the device memory budget (engine/select.py)")
+    q.add_argument("--no-paired-records", action="store_true",
+                   help="force the one-step fused engines (the capacity "
+                        "layout)")
     q.add_argument("--bin-width", type=int, default=150)
     q.add_argument("--out-file", "-o", default="")
     q.add_argument("--rpml", action="store_true",

@@ -376,7 +376,9 @@ class ColorEngine(ScalarEngine):
                 p1 = pos - 1
                 L = len(r_arr)
                 if 0 <= p1 < L / 2 and p1 % 100 == 0:
-                    if sum_ml / (L - p1) < UNCLASSIFIED_THRESHOLD:
+                    # integer form of sum/(L-p1) < 0.4: exact, and
+                    # identical on device (int32) and host
+                    if 5 * sum_ml < 2 * (L - p1):
                         break
 
         vals = scores if self.pvalue_scoring else cnts

@@ -29,17 +29,20 @@ with precomposed fields.  Per (run, a1, a2):
     CONST (step 1 repositioned, so step 2 resolves at build time):
           next = (A, C)
 
-Packing (4 int32 words; run ids are 24-bit -- the engine asserts
-r < 2^24, its capacity envelope at 16 B * (sigma+1)^2 per run):
+Packing (4 int32 words; run ids are 25-bit -- the engine asserts
+r < 2^25 = 3.4e7, which covers the layout's true HBM envelope:
+400 B/run * 3.4e7 = 13 GB on a 16 GB chip.  The reference's regular
+mode addresses r up to 2^32, move_row_configs.hpp:34-51; past 2^25 the
+one-step fused engine takes over):
 
-  w0: T1+4096 (bits 0-12) | match1 (13) | A_lo>>16 (14-21) | A_hi>>16 (22-29)
+  w0: T1+4096 (bits 0-12) | match1 (13) | A_lo>>16 (14-22) | A_hi>>16 (23-31)
   w1: B_lo+4096 (0-12) | C_lo (13-24) | kind_lo (25-26) | flags_lo (27-29)
   w2: same fields for the hi branch
   w3: A_lo & 0xFFFF (0-15) | A_hi & 0xFFFF (16-31)
 
 Memory: (sigma+1)^2 * 16 B per run (400 B/run for DNA) -- 10x the fused
-engine.  This is the SPEED layout for indexes up to ~2e7 runs on a
-16 GB chip; engine/fused.py remains the capacity layout.  Bit-exact
+engine.  This is the SPEED layout; engine/fused.py remains the capacity
+layout (engine selection is automatic, see engine/select.py).  Bit-exact
 against ScalarEngine (tests/test_fused2.py).
 """
 
@@ -62,7 +65,7 @@ KIND_MIS2 = 1
 KIND_CONST = 2
 
 _BIAS = 4096          # 13-bit biased signed fields (T1, B)
-MAX_RUNS = 1 << 24    # A fields are 24-bit
+MAX_RUNS = 1 << 25    # A fields are 25-bit (16 low in w3 + 9 high in w0)
 
 
 @dataclass
@@ -187,10 +190,12 @@ def _compose_records(records1, r: int, slots: int, p_dollar, cids=None):
             dh = descriptor(use_lf1, i_hi, c_hi, y_hi, a2)
             Al, Bl, Cl, kl, fl = dl[:5]
             Ah, Bh, Ch, kh, fh = dh[:5]
+            # (Ah >> 16) << 23 reaches bit 31: int32 wrap is intended,
+            # the decode masks the bit pattern back out
             words[0].append((T1 + _BIAS)
                             | (match1 << 13)
                             | ((Al >> 16) << 14)
-                            | ((Ah >> 16) << 22))
+                            | ((Ah >> 16) << 23))
             words[1].append((Bl + _BIAS) | (Cl << 13) | (kl << 25)
                             | (fl << 27))
             words[2].append((Bh + _BIAS) | (Ch << 13) | (kh << 25)
@@ -245,8 +250,8 @@ def _fused2_decode(rec: jax.Array, offset: jax.Array, p_dollar):
     hi = offset >= T1
     wb = jnp.where(hi, rec[:, 2], rec[:, 1])
     A = jnp.where(hi,
-                  ((w3 >> 16) & 0xFFFF) | (((w0 >> 22) & 0xFF) << 16),
-                  (w3 & 0xFFFF) | (((w0 >> 14) & 0xFF) << 16))
+                  ((w3 >> 16) & 0xFFFF) | (((w0 >> 23) & 0x1FF) << 16),
+                  (w3 & 0xFFFF) | (((w0 >> 14) & 0x1FF) << 16))
     B = (wb & 0x1FFF) - _BIAS
     C = (wb >> 13) & 0xFFF
     kind = (wb >> 25) & 3
@@ -279,7 +284,7 @@ def _fused2_decode(rec: jax.Array, offset: jax.Array, p_dollar):
     return new_idx, new_off, match1, match2, hi, ff, down, kind
 
 
-_FUSED2_FMT = 1  # on-disk cache format
+_FUSED2_FMT = 2  # on-disk cache format (2: 25-bit A fields in w0)
 
 
 def save_fused2_index(f2: Fused2Index, path: str):
@@ -471,6 +476,40 @@ def _fused2_color_scan_carry(ci: Fused2ColorIndex, a12_t: jax.Array,
     return state, ml, color
 
 
+@jax.jit
+def _fused2_color_scan_carry_es(ci: Fused2ColorIndex, a12_t: jax.Array,
+                                t0: int, lens: jax.Array, state):
+    """Early-stop variant: carries (csum, stopped) per lane across the
+    paired chunk (two stop-rule checks per pair step) and returns
+    all_retired for the host chunk loop (chunk-level lane retirement,
+    read_processor.cpp:240-250)."""
+    from .fused_color import _es_check
+
+    f2 = ci.f2
+    slots = f2.sigma + 1
+    a12_t = a12_t.astype(jnp.int32)
+    core, csum, stopped = state
+    W2 = a12_t.shape[0]
+    ks = t0 + 2 * jnp.arange(W2, dtype=jnp.int32)
+
+    def step(st, xs):
+        core, csum, stopped = st
+        a, t1 = xs
+        core, (ml1, ml2, c1, c2) = fused2_color_step(
+            f2.records, slots, f2.p_dollar, core, a)
+        csum, stopped = _es_check(csum, stopped, ml1, t1, lens)
+        csum, stopped = _es_check(csum, stopped, ml2, t1 + 1, lens)
+        return (core, csum, stopped), (ml1, ml2, c1, c2)
+
+    (core, csum, stopped), (ml1, ml2, c1, c2) = jax.lax.scan(
+        step, (core, csum, stopped), (a12_t, ks))
+    lanes = a12_t.shape[1]
+    ml = jnp.stack([ml1, ml2], axis=1).reshape(2 * W2, lanes)
+    color = jnp.stack([c1, c2], axis=1).reshape(2 * W2, lanes)
+    retired = stopped | (t0 + 2 * W2 >= lens)
+    return ((core, csum, stopped), ml, color, jnp.all(retired))
+
+
 class Fused2ColorEngine:
     """Multi-class classification at half a gather per base: the paired
     device scan emits (ml, color) with the same contract as
@@ -485,6 +524,7 @@ class Fused2ColorEngine:
         self.ci = ci
         # the host tally needs no device index: delegate with ci=None
         self._host = FusedColorEngine(None, ct, **kw)
+        self.last_scanned_rows = 0  # chunk-retirement observability
 
     def query_batch_device(self, batch: ReadBatch):
         f2 = self.ci.f2
@@ -493,25 +533,50 @@ class Fused2ColorEngine:
                             f2.sigma)
         a12_t = jnp.asarray(a12)
         W2, lanes = a12_t.shape
-        state = (jnp.full((lanes,), f2.start_idx, jnp.int32),
-                 jnp.full((lanes,), f2.start_offset, jnp.int32),
-                 jnp.zeros((lanes,), jnp.int32))
+        core = (jnp.full((lanes,), f2.start_idx, jnp.int32),
+                jnp.full((lanes,), f2.start_offset, jnp.int32),
+                jnp.zeros((lanes,), jnp.int32))
+        self.last_scanned_rows = W
         if W2 <= self.CHUNK:
-            _, ml, color = _fused2_color_scan_carry(self.ci, a12_t, state)
+            _, ml, color = _fused2_color_scan_carry(self.ci, a12_t, core)
             return ml[:W], color[:W]
         pad = (-W2) % self.CHUNK
         if pad:
             illegal = f2.sigma * slots + f2.sigma
             a12_t = jnp.concatenate(
                 [a12_t, jnp.full((pad, lanes), illegal, a12_t.dtype)])
+        early = self._host.early_stop
+        if early:
+            lens = jnp.asarray(batch.lengths.astype(np.int32))
+            state = (core, jnp.zeros((lanes,), jnp.int32),
+                     jnp.zeros((lanes,), bool))
         mls, colors = [], []
+        scanned = 0
         for c0 in range(0, W2 + pad, self.CHUNK):
-            state, ml, color = _fused2_color_scan_carry(
-                self.ci, jax.lax.slice_in_dim(a12_t, c0, c0 + self.CHUNK),
-                state)
+            sl = jax.lax.slice_in_dim(a12_t, c0, c0 + self.CHUNK)
+            if early:
+                state, ml, color, all_ret = _fused2_color_scan_carry_es(
+                    self.ci, sl, 2 * c0, lens, state)
+            else:
+                core, ml, color = _fused2_color_scan_carry(
+                    self.ci, sl, core)
             mls.append(ml)
             colors.append(color)
-        return jnp.concatenate(mls)[:W], jnp.concatenate(colors)[:W]
+            scanned = min(2 * (c0 + self.CHUNK), W)
+            if early and scanned < W and bool(np.asarray(all_ret)):
+                break
+        ml = jnp.concatenate(mls)[:W]
+        color = jnp.concatenate(colors)[:W]
+        if scanned < W:
+            # chunk-level lane retirement: every lane's stop point or
+            # read end lies within the scanned prefix, so the zero fill
+            # is never read by the host trim
+            fill = W - ml.shape[0]
+            ml = jnp.concatenate([ml, jnp.zeros((fill, lanes), ml.dtype)])
+            color = jnp.concatenate(
+                [color, jnp.zeros((fill, lanes), color.dtype)])
+        self.last_scanned_rows = scanned
+        return ml, color
 
     def query_batch(self, batch: ReadBatch):
         from .fused_color import _early_stop_len

@@ -154,6 +154,94 @@ def _fused_color_scan_carry(ci: FusedColorIndex, alphas_t: jax.Array,
 CHUNK = 2048
 
 
+def _es_check(csum, stopped, ml, t, lens):
+    """One step of the in-scan early-stop rule (the device mirror of
+    _early_stop_len): emitted pml at global step t updates the running
+    sum; at the reference's checkpoints the integer-exact mean test
+    retires the lane."""
+    csum = csum + ml
+    p1 = lens - 2 - t
+    chk = (p1 >= 0) & (2 * p1 < lens) & (p1 % 100 == 0)
+    return csum, stopped | (chk & (5 * csum < 2 * (lens - p1)))
+
+
+@jax.jit
+def _fused_color_scan_carry_es(ci: FusedColorIndex, alphas_t: jax.Array,
+                               t0: int, lens: jax.Array, state):
+    """Early-stop variant of the carried color chunk: additionally
+    carries (csum, stopped) per lane and returns all_retired, so the
+    host chunk loop can stop issuing device work once every lane has
+    either hit its stop point or run out of read
+    (read_processor.cpp:240-250 as chunk-level lane retirement)."""
+    fi = ci.fi
+    slots = fi.sigma + 1
+    alphas_t = alphas_t.astype(jnp.int32)
+    core, csum, stopped = state
+    n = alphas_t.shape[0]
+    ts = t0 + jnp.arange(n, dtype=jnp.int32)
+
+    if ci.records3 is not None:
+        def pml_step(st, a):
+            return fused_color_step(ci.records3, slots, fi.p_dollar, st, a)
+    else:
+        def pml_step(st, a):
+            new_state, ml = fused_pml_step(fi.records, slots, fi.p_dollar,
+                                           st, a)
+            cid = jnp.take(ci.doc_set_inds, new_state[0], axis=0)
+            return new_state, (ml, cid)
+
+    def step(st, xs):
+        core, csum, stopped = st
+        a, t = xs
+        core, (ml, cid) = pml_step(core, a)
+        csum, stopped = _es_check(csum, stopped, ml, t, lens)
+        return (core, csum, stopped), (ml, cid)
+
+    (core, csum, stopped), (ml, color) = jax.lax.scan(
+        step, (core, csum, stopped), (alphas_t, ts))
+    retired = stopped | (t0 + n >= lens)
+    return (core, csum, stopped), ml, color, jnp.all(retired)
+
+
+def _fused_color_scan_es(ci: FusedColorIndex, alphas_t: jax.Array,
+                         lens: jax.Array):
+    """Chunked color scan with chunk-level lane retirement: identical
+    (ml, color) content up to each lane's exact stop point, with rows
+    past the last scanned chunk zero-filled (the host trim never reads
+    them: every lane's stop point or read end lies within the scanned
+    prefix).  Returns (ml, color, scanned_rows)."""
+    fi = ci.fi
+    W, lanes = alphas_t.shape
+    core = (jnp.full((lanes,), fi.start_idx, dtype=jnp.int32),
+            jnp.full((lanes,), fi.start_offset, dtype=jnp.int32),
+            jnp.zeros((lanes,), dtype=jnp.int32))
+    state = (core, jnp.zeros((lanes,), jnp.int32),
+             jnp.zeros((lanes,), bool))
+    pad = (-W) % CHUNK
+    if pad:
+        alphas_t = jnp.concatenate(
+            [alphas_t, jnp.full((pad, lanes), fi.sigma, alphas_t.dtype)])
+    mls, colors = [], []
+    scanned = 0
+    for c0 in range(0, W + pad, CHUNK):
+        state, ml, color, all_ret = _fused_color_scan_carry_es(
+            ci, jax.lax.slice_in_dim(alphas_t, c0, c0 + CHUNK), c0, lens,
+            state)
+        mls.append(ml)
+        colors.append(color)
+        scanned = min(c0 + CHUNK, W)
+        if scanned < W and bool(np.asarray(all_ret)):
+            break
+    ml = jnp.concatenate(mls)[:W]
+    color = jnp.concatenate(colors)[:W]
+    if scanned < W:
+        fill = W - ml.shape[0]
+        ml = jnp.concatenate([ml, jnp.zeros((fill, lanes), ml.dtype)])
+        color = jnp.concatenate(
+            [color, jnp.zeros((fill, lanes), color.dtype)])
+    return ml, color, scanned
+
+
 def _fused_color_scan(ci: FusedColorIndex, alphas_t: jax.Array):
     """Returns (ml, color) both [W, lanes]; color = doc_set_inds of the
     post-LF run (clamped to C for compressed-away sets).  Long batches
@@ -192,8 +280,9 @@ def _early_stop_len(pmls: np.ndarray, L: int) -> int:
     t = np.arange(L)
     p1 = L - 2 - t
     chk = (p1 >= 0) & (2 * p1 < L) & (p1 % 100 == 0)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        stop = chk & (csum / np.maximum(L - p1, 1) < UNCLASSIFIED_THRESHOLD)
+    # integer form of csum/(L-p1) < 0.4: exact, and identical to the
+    # device retirement check (int32) and the scalar engine
+    stop = chk & (5 * csum < 2 * (L - p1))
     hits = np.flatnonzero(stop)
     return int(hits[0]) + 1 if len(hits) else L
 
@@ -213,6 +302,7 @@ class FusedColorEngine:
         self.min_diff_frac = min_diff_frac
         self.min_score_frac = min_score_frac
         self.early_stop = early_stop
+        self.last_scanned_rows = 0  # chunk-retirement observability
         di = ct.doc_info
         self.di = di
         C = len(ct.unique_doc_sets)
@@ -231,6 +321,13 @@ class FusedColorEngine:
         alphas = fi.alphamap_query[seqs_rev]
         alphas_t = jnp.asarray(
             np.ascontiguousarray(alphas.T).astype(np.uint8))
+        if self.early_stop and alphas_t.shape[0] > CHUNK:
+            ml, color, scanned = _fused_color_scan_es(
+                self.ci, alphas_t,
+                jnp.asarray(batch.lengths.astype(np.int32)))
+            self.last_scanned_rows = scanned
+            return ml, color
+        self.last_scanned_rows = alphas_t.shape[0]
         return _fused_color_scan(self.ci, alphas_t)
 
     def query_batch(self, batch: ReadBatch

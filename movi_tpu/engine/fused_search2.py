@@ -53,6 +53,7 @@ the one-step engines (tests/test_fused_search2.py).
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import partial
 from typing import List, Tuple
 
 import numpy as np
@@ -429,6 +430,90 @@ def fused2_zml_scan(s2: FusedSearch2Index, pairs_t: jax.Array):
         emit_chunks.append(
             jnp.stack([ml1, ml2], axis=1).reshape(2 * n, lanes))
     return jnp.concatenate(emit_chunks, axis=0)
+
+
+def _pair_rows(ext: jnp.ndarray):
+    """[E, nk] extension char rows -> ([P, nk], [P, nk]) row pairs,
+    padding an odd tail with the beyond-read sentinel."""
+    E = ext.shape[0]
+    if E % 2:
+        ext = jnp.concatenate(
+            [ext, jnp.full((1, ext.shape[1]), -2, ext.dtype)])
+    return ext[0::2], ext[1::2]
+
+
+@partial(jax.jit, static_argnums=(2,))
+def fused2_kmer_count_scan(s2: FusedSearch2Index, alphas: jax.Array,
+                           k: int):
+    """Exact-count kernel over paired records: one lane per k-mer, the
+    k-1 backward extensions run as composed step PAIRS -- half the
+    gathered rows of engine/fused_kmer.py's _kmer_count_scan, identical
+    results.  alphas: int32 [k, nk] in k-mer order."""
+    legal = jnp.all(alphas >= 0, axis=0)
+    rec = jnp.take(s2.init_rec,
+                   jnp.maximum(alphas[k - 1], 0) + 1, axis=0)
+    state = dict(rs=rec[:, 0], os=rec[:, 1], re=rec[:, 2], oe=rec[:, 3],
+                 dead=~legal)
+    a1s, a2s = _pair_rows(alphas[:-1][::-1])
+
+    def body(state, xs):
+        a1, a2 = xs
+        l2 = a2 >= 0
+        mid, fin, e1, e2 = fused2_bs_step(
+            s2, state["rs"], state["os"], state["re"], state["oe"],
+            jnp.maximum(a1, 0) * s2.sigma + jnp.maximum(a2, 0),
+            a1 >= 0, l2)
+        alive = ~state["dead"]
+        ok1 = alive & ~e1
+        ok2 = ok1 & ~e2
+        new = dict(dead=state["dead"] | (alive & (e1 | (l2 & ~e1 & e2))))
+        for kk, m, f in zip(_IKEYS, mid, fin):
+            new[kk] = jnp.where(ok2, f, jnp.where(ok1, m, state[kk]))
+        return new, None
+
+    state, _ = jax.lax.scan(body, state, (a1s, a2s))
+    found = ~state["dead"] & legal
+    cnt = (jnp.take(s2.all_p, state["re"], axis=0) + state["oe"]
+           - jnp.take(s2.all_p, state["rs"], axis=0) - state["os"] + 1)
+    return found, jnp.where(found, cnt, 0)
+
+
+class Fused2KmerCountEngine:
+    """Exact k-mer counts on the paired search records (one composed
+    gather per two extensions).  Results identical to
+    FusedKmerCountEngine / AdvancedEngine.count_kmers_bidirectional."""
+
+    def __init__(self, s2: FusedSearch2Index, k: int):
+        self.s2 = s2
+        self.k = k
+
+    def query_batch(self, batch: ReadBatch) -> List[Tuple[int, int]]:
+        k = self.k
+        amap = self.s2.alphamap_query
+        windows = []
+        owners = []
+        for i in range(batch.lanes):
+            L = int(batch.lengths[i])
+            if L < k:
+                continue
+            seq = np.frombuffer(
+                batch.seqs[i, batch.width - L:].tobytes(), np.uint8)
+            a = amap[seq].astype(np.int32)
+            w = np.lib.stride_tricks.sliding_window_view(a, k)
+            windows.append(w)
+            owners.append(np.full(len(w), i, dtype=np.int64))
+        if not windows:
+            return [(0, 0)] * batch.lanes
+        al = np.concatenate(windows).T
+        own = np.concatenate(owners)
+        found, cnt = fused2_kmer_count_scan(self.s2, jnp.asarray(al), k)
+        found = np.asarray(found)
+        cnt = np.asarray(cnt)
+        f = np.zeros(batch.lanes, dtype=np.int64)
+        t = np.zeros(batch.lanes, dtype=np.int64)
+        np.add.at(f, own, found.astype(np.int64))
+        np.add.at(t, own, cnt.astype(np.int64))
+        return [(int(f[i]), int(t[i])) for i in range(batch.lanes)]
 
 
 class Fused2CountEngine:

@@ -1,0 +1,84 @@
+"""Automatic engine selection: pick the speed layout when it fits HBM.
+
+The engine ladder (docs/PERF.md section 2) trades memory for gathered
+rows per base: the paired PML records cost 16*(sigma+1)^2 B/run
+(400 B/run for DNA) and the paired search records 48*sigma^2 B/run
+(768 B/run), vs 40 B/run for the one-step fused layout.  The reference
+auto-dispatches on the index mode byte (movi_launcher.cpp:408-434);
+here the dispatch is on CAPACITY: use the paired layout when its table
+fits a budgeted fraction of accelerator memory and the packed run-id
+width, else fall back to the one-step engine.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+DEFAULT_HBM_BYTES = 16 << 30     # one v5e chip
+# leave room for the one-step records (compose input), read batches,
+# color tables, and XLA scratch
+BUDGET_FRACTION = 0.5
+
+
+def device_memory_budget() -> int:
+    """Accelerator memory budget in bytes.  Override with
+    MOVI_TPU_HBM_BYTES (used by tests and capacity planning); else the
+    backend's reported limit; else one v5e's 16 GB."""
+    env = os.environ.get("MOVI_TPU_HBM_BYTES")
+    if env:
+        return int(env)
+    try:
+        import jax
+
+        stats = jax.devices()[0].memory_stats() or {}
+        limit = int(stats.get("bytes_limit", 0))
+        if limit > (2 << 30):
+            return limit
+    except Exception:
+        pass
+    return DEFAULT_HBM_BYTES
+
+
+def paired_pml_table_bytes(r: int, sigma: int) -> int:
+    return 16 * (sigma + 1) ** 2 * r
+
+
+def paired_search_table_bytes(r: int, sigma: int) -> int:
+    return 2 * 24 * sigma * sigma * r
+
+
+def use_paired_pml(r: int, sigma: int,
+                   force: Optional[bool] = None) -> bool:
+    """True when PML should run on the paired two-base records."""
+    from .fused2 import MAX_RUNS
+
+    if force is not None:
+        return force
+    return (r < MAX_RUNS and paired_pml_table_bytes(r, sigma)
+            <= BUDGET_FRACTION * device_memory_budget())
+
+
+def use_paired_color(r: int, sigma: int, num_sets: int,
+                     force: Optional[bool] = None) -> bool:
+    """True when Movi Color should run on the paired 32 B records
+    (which additionally require the kept-set count to fit 16 bits)."""
+    from .fused2 import MAX_RUNS
+
+    if force is not None:
+        return force and num_sets + 1 <= 0xFFFF
+    return (r < MAX_RUNS and num_sets + 1 <= 0xFFFF
+            and 2 * paired_pml_table_bytes(r, sigma)
+            <= BUDGET_FRACTION * device_memory_budget())
+
+
+def use_paired_search(r: int, sigma: int,
+                      force: Optional[bool] = None) -> bool:
+    """True when count/ZML should run on the paired search records."""
+    from .fused_search2 import MAX_RUNS
+
+    if force is not None:
+        return force
+    return (r < MAX_RUNS and sigma + 2 <= 8
+            and paired_search_table_bytes(r, sigma)
+            <= BUDGET_FRACTION * device_memory_budget())

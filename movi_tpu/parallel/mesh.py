@@ -121,29 +121,58 @@ def _pml_classify_scan_paired(f2, a12_t: jax.Array, lengths: jax.Array,
 
 
 class ShardedSearchEngine:
-    """Data-parallel count / ZML queries over a mesh: the fused search
-    records replicated per device, read lanes sharded (the same layout as
-    ShardedPMLEngine; no collectives in the query loop)."""
+    """Data-parallel count / ZML queries over a mesh: the search
+    records (one-step, or the paired composed layout) replicated per
+    device, read lanes sharded (the same layout as ShardedPMLEngine; no
+    collectives in the query loop)."""
 
-    def __init__(self, si, mesh: Optional[Mesh] = None):
+    def __init__(self, si, mesh: Optional[Mesh] = None,
+                 paired: bool = False):
         self.mesh = mesh or make_mesh()
         rep = NamedSharding(self.mesh, P())
+        self.paired = paired
         self.si = jax.tree.map(lambda a: jax.device_put(a, rep), si)
         self.lane_sharding = NamedSharding(self.mesh, P(None, "data"))
+        self.vec_sharding = NamedSharding(self.mesh, P("data"))
 
-    def _alphas(self, seqs: np.ndarray, lengths: np.ndarray):
+    def _alphas_np(self, seqs: np.ndarray, lengths: np.ndarray):
         alphas = np.asarray(self.si.alphamap_query)[
             seqs[:, ::-1]].astype(np.int32)
         t_idx = np.arange(seqs.shape[1])[None, :]
-        alphas = np.where(t_idx >= lengths[:, None], -2, alphas)
-        return jax.device_put(jnp.asarray(alphas.T), self.lane_sharding)
+        return np.where(t_idx >= lengths[:, None], -2, alphas)
+
+    def _alphas(self, seqs: np.ndarray, lengths: np.ndarray):
+        return jax.device_put(
+            jnp.asarray(self._alphas_np(seqs, lengths).T),
+            self.lane_sharding)
 
     def count_batch_device(self, seqs: np.ndarray, lengths: np.ndarray):
+        if self.paired:
+            from ..engine.fused_search2 import (fused2_count_scan,
+                                                pack_search_pairs)
+
+            alphas = self._alphas_np(seqs, lengths)
+            a0 = jax.device_put(
+                jnp.asarray(alphas[:, 0].astype(np.int32)),
+                self.vec_sharding)
+            pairs, _ = pack_search_pairs(alphas[:, 1:], self.si.sigma)
+            pairs_d = jax.device_put(jnp.asarray(pairs),
+                                     self.lane_sharding)
+            return fused2_count_scan(self.si, a0, pairs_d)
         from ..engine.fused_search import fused_count_scan
 
         return fused_count_scan(self.si, self._alphas(seqs, lengths))
 
     def zml_batch_device(self, seqs: np.ndarray, lengths: np.ndarray):
+        if self.paired:
+            from ..engine.fused_search2 import (fused2_zml_scan,
+                                                pack_search_pairs)
+
+            pairs, _ = pack_search_pairs(
+                self._alphas_np(seqs, lengths), self.si.sigma)
+            pairs_d = jax.device_put(jnp.asarray(pairs),
+                                     self.lane_sharding)
+            return fused2_zml_scan(self.si, pairs_d)
         from ..engine.fused_search import fused_zml_scan
 
         return fused_zml_scan(self.si, self._alphas(seqs, lengths))
@@ -167,6 +196,110 @@ class ShardedColorEngine:
             seqs[:, ::-1]].T.astype(np.uint8)
         alphas_d = jax.device_put(jnp.asarray(alphas), self.lane_sharding)
         return _fused_color_scan(self.ci, alphas_d)
+
+
+class ShardedKmerEngine:
+    """Data-parallel exact k-mer counts over a mesh: search records
+    replicated, one device lane per k-mer window, windows sharded on
+    'data' (the reference gives kmer search the full latency-hiding
+    runtime, read_processor.cpp:1096-1175; here the lanes ARE the
+    latency hiding)."""
+
+    def __init__(self, si, k: int, mesh: Optional[Mesh] = None):
+        self.mesh = mesh or make_mesh()
+        rep = NamedSharding(self.mesh, P())
+        self.si = jax.tree.map(lambda a: jax.device_put(a, rep), si)
+        self.k = k
+
+    def count_windows_device(self, windows: np.ndarray):
+        """windows: int32 [k, nk] alphabet slots in k-mer order; nk
+        must divide by the mesh size (pad with illegal -1 columns).
+        Returns (found, count) [nk] device arrays sharded on 'data'."""
+        from ..engine.fused_kmer import _kmer_count_scan
+
+        al = jax.device_put(jnp.asarray(windows),
+                            NamedSharding(self.mesh, P(None, "data")))
+        return _kmer_count_scan(self.si, al, self.k)
+
+
+class ShardedMemEngine:
+    """Data-parallel MEM finding over a mesh: bidirectional index
+    replicated, read lanes sharded; the lockstep tick state machine
+    (engine/fused_mem.py) runs unchanged per shard."""
+
+    def __init__(self, mi, min_mem_length: int = 0,
+                 mesh: Optional[Mesh] = None):
+        self.mesh = mesh or make_mesh()
+        rep = NamedSharding(self.mesh, P())
+        self.mi = jax.tree.map(lambda a: jax.device_put(a, rep), mi)
+        self.L = min_mem_length
+
+    def query_batch_device(self, seqs: np.ndarray, lengths: np.ndarray):
+        """seqs: uint8 [lanes, W] right-aligned (lanes divisible by the
+        mesh size).  Returns state dict with ends/counts [lanes, W]
+        sharded on 'data'."""
+        from ..engine.fused_mem import (_all_mem_scan, _mem_scan,
+                                        make_mem_state)
+
+        si = self.mi.si
+        lanes, W = seqs.shape
+        alphas = np.full((lanes, W), -2, dtype=np.int32)
+        amap = np.asarray(si.alphamap_query).copy()
+        amap[ord("#")] = -3
+        for i in range(lanes):
+            Li = int(lengths[i])
+            alphas[i, :Li] = amap[
+                np.frombuffer(seqs[i, W - Li:].tobytes(), np.uint8)]
+        lane_sh = NamedSharding(self.mesh, P("data", None))
+        al = jax.device_put(jnp.asarray(alphas), lane_sh)
+        lens_d = jax.device_put(jnp.asarray(lengths.astype(np.int32)),
+                                NamedSharding(self.mesh, P("data")))
+        ticks = 4 * W + 64
+        if self.L >= 2:
+            state = make_mem_state(lanes, W, lens_d, self.L)
+            for _ in range(W):
+                state, d = _mem_scan(self.mi, al, state, self.L, ticks)
+                if bool(d):
+                    return state
+        else:
+            state = _sharded_all_mem_state(self.mi, al, lens_d, lanes, W)
+            for _ in range(W):
+                state, d = _all_mem_scan(self.mi, al, ticks, state)
+                if bool(d):
+                    return state
+        raise AssertionError("MEM scan did not converge")
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _sharded_all_mem_state(mi, al, lengths, lanes: int, W: int):
+    """all-MEMs entry state (FusedAllMemEngine.make_state) jitted so
+    sharding propagates from the lane-sharded inputs."""
+    from ..engine.fused_mem import AM_DONE, AM_RIGHT
+    from ..engine.fused_search import _init_interval
+
+    si = mi.si
+    sigma = si.sigma
+    z = jnp.zeros((lanes,), jnp.int32)
+    c0 = al[:, 0]
+    i_frs, i_fos, i_fre, i_foe = _init_interval(si, c0)
+    legal = c0 >= 0
+    c0r = jnp.where(legal, sigma - 1 - c0, jnp.where(c0 == -1, 0, -1))
+    i_rrs, i_ros, i_rre, i_roe = _init_interval(si, c0r)
+    rlegal = c0r >= 0
+    return dict(
+        phase=jnp.where(lengths > 0, AM_RIGHT, AM_DONE).astype(jnp.int32),
+        s=z, ml=jnp.ones((lanes,), jnp.int32), e=z,
+        frs=jnp.where(legal, i_frs, 1).astype(jnp.int32),
+        fos=jnp.where(legal, i_fos, 0).astype(jnp.int32),
+        fre=jnp.where(legal, i_fre, 0).astype(jnp.int32),
+        foe=jnp.where(legal, i_foe, 0).astype(jnp.int32),
+        rrs=jnp.where(rlegal, i_rrs, 1).astype(jnp.int32),
+        ros=jnp.where(rlegal, i_ros, 0).astype(jnp.int32),
+        rre=jnp.where(rlegal, i_rre, 0).astype(jnp.int32),
+        roe=jnp.where(rlegal, i_roe, 0).astype(jnp.int32),
+        ends=jnp.zeros((lanes, W), jnp.int32),
+        counts=jnp.zeros((lanes, W), jnp.int32),
+    )
 
 
 class ShardedPMLEngine:

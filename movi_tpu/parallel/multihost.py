@@ -175,11 +175,21 @@ def bpf_header(entry_size: int = 16) -> bytes:
 def run_sharded_query(index_dir: str, read_path: str, num_hosts: int,
                       host_id: int, qt: str = "pml", lanes: int = 8192,
                       classify: bool = False, bin_width: int = 150,
-                      out_prefix: Optional[str] = None) -> dict:
-    """One host's share of a distributed PML/ZML query + optional binary
-    classification.  Writes `<out>.bpf.part<k>` (+ `.report.part<k>`),
-    reduces (found, total) across processes, and merges on host 0.
-    Returns {"found": ..., "total": ..., "out": path} on every host."""
+                      out_prefix: Optional[str] = None,
+                      paired: Optional[bool] = None) -> dict:
+    """One host's share of a distributed query: PML/ZML (+ optional
+    binary classification), count, or multi-class -- the same one-
+    runtime-all-query-types surface as the reference's OpenMP loop
+    (movi.cpp:274-386).  Writes per-host output shards, reduces the
+    aggregate counters across processes, and merges on host 0.  Engine
+    caches persisted by Index.save / build --fused-cache/--paired-cache
+    are reused (no per-host O(r*sigma) rebuild), and the paired speed
+    layouts are capacity-auto-selected per engine/select.py (`paired`
+    forces them on/off).
+
+    Returns {"found": ..., "total": ..., "out": path} on every host;
+    multi-class adds "class_counts" (reads per species + unclassified,
+    reduced across hosts)."""
     import numpy as np
 
     from ..api import Index
@@ -187,40 +197,73 @@ def run_sharded_query(index_dir: str, read_path: str, num_hosts: int,
 
     index = Index.load(index_dir)
     reads = list(byte_range_reads(read_path, num_hosts, host_id))
-    out = (index.query_pml(reads, lanes=lanes) if qt == "pml"
-           else index.query_zml(reads, lanes=lanes))
-
     prefix = out_prefix or f"{read_path}.{index.ix.mode}.{qt}"
-    part = f"{prefix}.bpf.part{host_id}"
-    with BPFWriter(part, write_header=False) as w:
-        for name, pmls in out:
-            w.write_read(name, pmls)
 
     found = 0
+    class_counts = None
     report_part = None
-    if classify:
-        from ..classify import (Classifier, EmpNullDatabase,
-                                format_report_line)
+    if qt == "count":
+        from ..io.outputs import count_line
 
-        db = EmpNullDatabase.load(
-            os.path.join(index_dir, f"movi.{qt}.nulldb"))
-        cls = Classifier(db, bin_width=bin_width)
-        report_part = f"{prefix}.report.part{host_id}"
-        with open(report_part, "w") as f:
+        out = index.query_count(reads, lanes=lanes, paired=paired)
+        part = f"{prefix}.matches.part{host_id}"
+        with open(part, "w") as f:
+            for (name, (pos, cnt)), (_, seq) in zip(out, reads):
+                f.write(count_line(name, len(seq), pos, cnt) + "\n")
+        merged_name = prefix + ".matches"
+        merged_header = b""
+    elif qt == "multiclass":
+        from ..cli import _load_color_table
+
+        ct = _load_color_table(index_dir, index.ix)
+        out = index.multi_classify(reads, ct, lanes=lanes)
+        part = f"{prefix}.multiclass.csv.part{host_id}"
+        di = ct.doc_info
+        tax2idx = {str(t): i for i, t in enumerate(di.to_taxon_id)}
+        counts = np.zeros(di.num_species + 1, dtype=np.int64)
+        with open(part, "w") as f:
+            for name, cell in out:
+                f.write(f"{name},{cell}\n")
+                primary = cell.split(",")[0]
+                counts[tax2idx.get(primary, di.num_species)] += 1
+        class_counts = merged_counters(counts)
+        merged_name = prefix + ".multiclass.csv"
+        merged_header = b""
+    else:
+        out = (index.query_pml(reads, lanes=lanes, paired=paired)
+               if qt == "pml"
+               else index.query_zml(reads, lanes=lanes, paired=paired))
+        part = f"{prefix}.bpf.part{host_id}"
+        with BPFWriter(part, write_header=False) as w:
             for name, pmls in out:
-                ok, avg, above, below = cls.classify(pmls)
-                found += int(ok)
-                f.write(format_report_line(name, ok, avg, above, below)
-                        + "\n")
+                w.write_read(name, pmls)
+        merged_name = prefix + ".bpf"
+        merged_header = bpf_header()
+
+        if classify:
+            from ..classify import (Classifier, EmpNullDatabase,
+                                    format_report_line)
+
+            db = EmpNullDatabase.load(
+                os.path.join(index_dir, f"movi.{qt}.nulldb"))
+            cls = Classifier(db, bin_width=bin_width)
+            report_part = f"{prefix}.report.part{host_id}"
+            with open(report_part, "w") as f:
+                for name, pmls in out:
+                    ok, avg, above, below = cls.classify(pmls)
+                    found += int(ok)
+                    f.write(format_report_line(name, ok, avg, above,
+                                               below) + "\n")
 
     totals = merged_counters(np.array([found, len(out)]))
     barrier("movi-query-done")
 
     if host_id == 0:
-        merge_parts(prefix + ".bpf",
-                    [f"{prefix}.bpf.part{k}" for k in range(num_hosts)],
-                    header=bpf_header())
-        if classify:
+        part_tpl = part[: -len(str(host_id))]
+        merge_parts(merged_name,
+                    [f"{part_tpl}{k}" for k in range(num_hosts)],
+                    header=merged_header)
+        if report_part is not None:
             from ..classify import format_report_header
 
             hdr = (format_report_header(cls.max_value_thr) + "\n").encode()
@@ -228,8 +271,11 @@ def run_sharded_query(index_dir: str, read_path: str, num_hosts: int,
                         [f"{prefix}.report.part{k}"
                          for k in range(num_hosts)], header=hdr)
     barrier("movi-merge-done")
-    return {"found": int(totals[0]), "total": int(totals[1]),
-            "out": prefix + ".bpf"}
+    res = {"found": int(totals[0]), "total": int(totals[1]),
+           "out": merged_name}
+    if class_counts is not None:
+        res["class_counts"] = class_counts
+    return res
 
 
 def main(argv=None):
@@ -241,7 +287,13 @@ def main(argv=None):
     p.add_argument("--read", required=True)
     p.add_argument("--pml", action="store_true")
     p.add_argument("--zml", action="store_true")
+    p.add_argument("--count", action="store_true")
+    p.add_argument("--multi-classify", action="store_true")
     p.add_argument("--classify", action="store_true")
+    p.add_argument("--paired-records", action="store_true",
+                   help="force the paired speed layouts (default: "
+                        "capacity auto-selection)")
+    p.add_argument("--no-paired-records", action="store_true")
     p.add_argument("--bin-width", type=int, default=150)
     p.add_argument("--lanes", type=int, default=32768)
     p.add_argument("--out-prefix", default=None)
@@ -254,11 +306,15 @@ def main(argv=None):
 
         jax.config.update("jax_platforms", args.platform)
     initialize(args.coordinator, args.num_hosts, args.host_id)
+    qt = ("multiclass" if args.multi_classify else
+          "count" if args.count else "zml" if args.zml else "pml")
+    paired = (True if args.paired_records
+              else False if args.no_paired_records else None)
     res = run_sharded_query(
         args.index, args.read, args.num_hosts, args.host_id,
-        qt="zml" if args.zml else "pml", lanes=args.lanes,
+        qt=qt, lanes=args.lanes,
         classify=args.classify, bin_width=args.bin_width,
-        out_prefix=args.out_prefix)
+        out_prefix=args.out_prefix, paired=paired)
     if args.host_id == 0:
         print(f"found {res['found']}/{res['total']} -> {res['out']}")
 

@@ -11,9 +11,19 @@ os.environ["XLA_FLAGS"] = (
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# one XLA compile cache shared by every CLI subprocess the tests spawn
+# (each test's throwaway index dir would otherwise recompile everything)
+os.environ.setdefault(
+    "MOVI_TPU_COMPILE_CACHE",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                 ".xla_cache"))
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["MOVI_TPU_COMPILE_CACHE"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

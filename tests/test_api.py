@@ -80,3 +80,62 @@ def test_api_device_routing_matches_scalar(tmp_path):
     dev = dict(index.multi_classify(reads, ct))
     cpu = dict(index.multi_classify(reads, ct, jax=False))
     assert dev == cpu
+
+
+def test_api_save_load_engine_caches(tmp_path):
+    """Index.save persists the fused record cache; Index.load hydrates
+    the engines from it (no O(r*sigma) rebuild) and results match."""
+    import os
+
+    rng = np.random.default_rng(83)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    seq = rng.choice(bases, size=2000).tobytes()
+    ref = str(tmp_path / "ref.fa")
+    with open(ref, "w") as f:
+        f.write(f">d\n{seq.decode()}\n")
+
+    index = movi_tpu.build_index(ref)
+    reads = [("r0", seq[50:120])]
+    # materialize paired engines so their caches are saved too
+    want_pml = index.query_pml(reads, paired=True)
+    want_cnt = index.query_count(reads, paired=True)
+    idx_dir = str(tmp_path / "idx")
+    index.save(idx_dir)
+    for fn in ("fused_records.npz", "paired_records.npz",
+               "paired_search_records.npz"):
+        assert os.path.exists(os.path.join(idx_dir, fn)), fn
+
+    loaded = movi_tpu.Index.load(idx_dir)
+    # hydrated from cache, not rebuilt lazily
+    assert loaded._fused_pml is not None
+    assert loaded._paired_pml is not None
+    assert loaded._paired_search is not None
+    assert loaded.query_pml(reads, paired=True) == want_pml
+    assert loaded.query_count(reads, paired=True) == want_cnt
+    assert loaded.query_pml(reads, paired=False) == want_pml
+
+
+def test_engine_capacity_selection(monkeypatch):
+    """engine/select.py: paired layouts are chosen exactly when their
+    table fits the budgeted fraction of device memory and the run-id
+    width."""
+    from movi_tpu.engine import select
+    from movi_tpu.engine.fused2 import MAX_RUNS as PML_MAX
+    from movi_tpu.engine.fused_search2 import MAX_RUNS as S2_MAX
+
+    monkeypatch.setenv("MOVI_TPU_HBM_BYTES", str(16 << 30))
+    assert select.device_memory_budget() == 16 << 30
+    # 5M runs * 400 B = 2 GB <= 8 GB budget fraction -> paired
+    assert select.use_paired_pml(5_000_000, 4)
+    # 3e7 runs * 400 B = 12 GB > 8 GB -> one-step
+    assert not select.use_paired_pml(30_000_000, 4)
+    assert select.use_paired_pml(30_000_000, 4, force=True)
+    assert not select.use_paired_pml(5_000_000, 4, force=False)
+    # run-id width caps
+    assert not select.use_paired_pml(PML_MAX, 4)
+    assert not select.use_paired_search(S2_MAX, 4)
+    # 5M runs * 768 B = 3.8 GB <= 8 GB -> paired search
+    assert select.use_paired_search(5_000_000, 4)
+    assert not select.use_paired_search(12_000_000, 4)
+    monkeypatch.setenv("MOVI_TPU_HBM_BYTES", str(1 << 30))
+    assert not select.use_paired_pml(5_000_000, 4)

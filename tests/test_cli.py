@@ -28,19 +28,20 @@ def test_cli_build_query_golden(tmp_path):
     assert r.returncode == 0, r.stderr
     r = _run(["query", "--index", idx,
               "--read", os.path.join(REF_DATA, "sample.fastq"),
-              "--pml", "--stdout", "--platform", "cpu"])
+              "--pml", "--stdout", "--platform", "cpu",
+              "--no-paired-records"])
     assert r.returncode == 0, r.stderr
-    assert "fused" in r.stderr
+    assert "fused single-gather engine" in r.stderr
     got = sorted(r.stdout.splitlines(), key=str.encode)
     with open(os.path.join(REF_DATA, "sample.fastq.pmls.sorted")) as f:
         want = f.read().splitlines()
     assert got == want
 
-    # the paired-record engine hits the same golden
+    # capacity auto-selection picks the paired engine for this small
+    # index; same golden
     r = _run(["query", "--index", idx,
               "--read", os.path.join(REF_DATA, "sample.fastq"),
-              "--pml", "--stdout", "--platform", "cpu",
-              "--paired-records"])
+              "--pml", "--stdout", "--platform", "cpu"])
     assert r.returncode == 0, r.stderr
     assert "paired-record engine" in r.stderr
     assert sorted(r.stdout.splitlines(), key=str.encode) == want
@@ -207,7 +208,8 @@ def test_cli_paired_search_parity(tmp_path):
         assert r.returncode == 0, r.stderr
         with open(out + ".count.matches") as f:
             return f.read(), r.stderr
-    want, _ = counts([])
+    want, err1 = counts(["--no-paired-records"])
+    assert "fused search engine" in err1
     got, err = counts(["--paired-records"])
     assert "paired search engine" in err
     assert got == want
@@ -217,4 +219,4 @@ def test_cli_paired_search_parity(tmp_path):
                   "--stdout", "--platform", "cpu"] + extra)
         assert r.returncode == 0, r.stderr
         return r.stdout
-    assert zml(["--paired-records"]) == zml([])
+    assert zml(["--paired-records"]) == zml(["--no-paired-records"])

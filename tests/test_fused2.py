@@ -91,3 +91,31 @@ def test_fused2_pml_golden(setup):
     with open(golden) as f:
         want = f.read().splitlines()
     assert got == want
+
+
+def test_w0_packs_25_bit_run_ids():
+    """The w0 A-field extension (9 high bits, reaching the sign bit):
+    synthetic records with run ids past 2^24 must decode exactly."""
+    import jax.numpy as jnp
+
+    from movi_tpu.engine.fused2 import (KIND_CONST, MAX_RUNS, _BIAS,
+                                        _fused2_decode)
+
+    for A_lo, A_hi in [(0x1ABCDEF, 0x1FFFFFF), (0, MAX_RUNS - 1),
+                       (0xFFFFFF, 0x1000000)]:
+        T1 = 5
+        w0 = ((T1 + _BIAS) | (1 << 13)
+              | ((A_lo >> 16) << 14) | ((A_hi >> 16) << 23))
+        w0 = np.int64(w0).astype(np.int32)  # bit 31 wraps to sign
+        C_lo, C_hi = 7, 9
+        w1 = (0 + _BIAS) | (C_lo << 13) | (KIND_CONST << 25)
+        w2 = (0 + _BIAS) | (C_hi << 13) | (KIND_CONST << 25)
+        w3 = np.int64((A_lo & 0xFFFF) | ((A_hi & 0xFFFF) << 16)
+                      ).astype(np.int32)
+        rec = jnp.asarray(np.array([[w0, w1, w2, w3]], dtype=np.int32))
+        # offset below T1 -> lo branch; at/above T1 -> hi branch
+        for off, want_A, want_C in [(T1 - 1, A_lo, C_lo),
+                                    (T1, A_hi, C_hi)]:
+            idx, o, *_ = _fused2_decode(rec, jnp.asarray([off]), (0, 0))
+            assert int(idx[0]) == want_A
+            assert int(o[0]) == want_C

@@ -149,3 +149,40 @@ def test_fused2_color_compressed(setup):
                                                 reads):
             pmls, cell = sc.query_pml_multiclass(seq)
             assert gp == pmls and gc == cell, name
+
+
+def test_early_stop_chunk_retirement(setup):
+    """Long reads that early-stop before the last scan chunk: the
+    chunked device loop must stop issuing chunks (measured by
+    last_scanned_rows) while keeping outputs bit-equal to the scalar
+    break -- for both the one-step and the paired color engines."""
+    from movi_tpu.engine.fused import build_fused_index
+    from movi_tpu.engine.fused2 import (Fused2ColorEngine,
+                                        build_fused2_color_index)
+
+    ix, runs, ct, reads = setup
+    rng = np.random.default_rng(123)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    # pure-random reads spanning >2 chunks: the stop rule fires just
+    # past the midpoint, so the final chunk(s) must never be scanned
+    L = 3 * 2048 + 512
+    long_reads = [(f"u{i}", rng.choice(bases, size=L).tobytes())
+                  for i in range(5)]
+    sc = ColorEngine(ix, ct, report_colors=True, early_stop=True)
+
+    ci = build_fused_color_index(ix, ct)
+    fe = FusedColorEngine(ci, ct, early_stop=True)
+    fe2 = Fused2ColorEngine(build_fused2_color_index(ci.fi, ct), ct,
+                            early_stop=True)
+    for eng in (fe, fe2):
+        got = {}
+        for b in make_batches(long_reads, lanes=len(long_reads)):
+            for nm, r in zip(b.names, eng.query_batch(b)):
+                got[nm] = r
+        assert eng.last_scanned_rows < L, type(eng).__name__
+        for name, seq in long_reads:
+            pmls, cell = sc.query_pml_multiclass(seq)
+            gp, gc, gcol = got[name]
+            assert gp == pmls, (type(eng).__name__, name, "pml")
+            assert gc == cell, (type(eng).__name__, name, "cell")
+            assert gcol == sc.last_colors, (type(eng).__name__, name)

@@ -140,3 +140,21 @@ def test_paired_search_cache_roundtrip(tmp_path, setup):
     batch = next(make_batches(reads, lanes=len(reads)))
     assert (Fused2CountEngine(s2b).query_batch(batch)
             == Fused2CountEngine(s2).query_batch(batch))
+
+
+def test_paired_kmer_counts_match_one_step(setup):
+    """Fused2KmerCountEngine == FusedKmerCountEngine (itself tested
+    against the bidirectional scalar oracle) for several k, including
+    even/odd extension counts and reads with illegal chars."""
+    from movi_tpu.engine.fused_kmer import FusedKmerCountEngine
+    from movi_tpu.engine.fused_search2 import Fused2KmerCountEngine
+
+    text, ix, sc, s2 = setup
+    si = build_fused_search_index(ix)
+    rng = np.random.default_rng(29)
+    reads = _reads(rng, text, count=24)
+    batch = next(make_batches(reads, lanes=len(reads)))
+    for k in (4, 5, 12, 31):
+        want = FusedKmerCountEngine(si, k).query_batch(batch)
+        got = Fused2KmerCountEngine(s2, k).query_batch(batch)
+        assert got == want, k

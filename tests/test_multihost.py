@@ -148,3 +148,68 @@ def test_byte_range_gz_preserves_order(tmp_path, num_hosts):
         got.extend((n, s.decode()) for n, s in
                    byte_range_reads(path, num_hosts, h))
     assert got == reads
+
+
+def test_two_process_count_and_multiclass_merge(tmp_path):
+    """The multihost runtime covers every query type (movi.cpp:274-386):
+    2-process count .matches and multi-class CSV merges are
+    byte-identical to 1-host runs, and the cross-process class counters
+    agree with the CSV."""
+    rng = np.random.default_rng(17)
+    bases = "ACGT"
+    fasta = str(tmp_path / "multi.fa")
+    docs = ["".join(rng.choice(list(bases), size=800)) for _ in range(3)]
+    with open(fasta, "w") as f:
+        for i, d in enumerate(docs):
+            f.write(f">doc{i}\n{d}\n")
+    idx = str(tmp_path / "idx")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "movi_tpu.cli", "build",
+         "--fasta", fasta, "--index", idx, "--skip-null", "--color"],
+        cwd=REPO, env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+
+    reads_path = str(tmp_path / "reads.fastq")
+    reads = []
+    for k in range(12):
+        i = int(rng.integers(0, 3))
+        s = int(rng.integers(0, 700))
+        reads.append((f"r{k}", docs[i][s:s + 80]))
+    _write_fastq(reads_path, reads)
+
+    def run(num_hosts, tag, flag):
+        prefix = str(tmp_path / tag)
+        port = _free_port()
+        procs = [
+            _launch(["--coordinator", f"127.0.0.1:{port}",
+                     "--num-hosts", str(num_hosts), "--host-id", str(h),
+                     "--index", idx, "--read", reads_path, flag,
+                     "--platform", "cpu", "--out-prefix", prefix])
+            for h in range(num_hosts)
+        ]
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            assert p.returncode == 0, err
+        return prefix
+
+    # count
+    p1 = run(1, "c_one", "--count")
+    p2 = run(2, "c_two", "--count")
+    with open(p1 + ".matches") as f:
+        m1 = f.read()
+    with open(p2 + ".matches") as f:
+        m2 = f.read()
+    assert m1 == m2
+    assert len(m1.splitlines()) == len(reads)
+
+    # multi-classify
+    p1 = run(1, "m_one", "--multi-classify")
+    p2 = run(2, "m_two", "--multi-classify")
+    with open(p1 + ".multiclass.csv") as f:
+        c1 = f.read()
+    with open(p2 + ".multiclass.csv") as f:
+        c2 = f.read()
+    assert c1 == c2
+    assert len(c1.splitlines()) == len(reads)

@@ -163,3 +163,103 @@ def test_sharded_pml_paired(setup):
         w_found, _, w_above, w_below = cl.classify(want_pml)
         assert (found[i], above[i], below[i]) == (w_found, w_above,
                                                   w_below), i
+
+
+def test_sharded_kmer_and_mem(setup):
+    """ShardedKmerEngine / ShardedMemEngine over the 8-device mesh equal
+    the unsharded fused engines (and thus the scalar oracles those are
+    tested against)."""
+    text, ix, scalar, fi = setup
+    from movi_tpu.engine.fused_kmer import FusedKmerCountEngine
+    from movi_tpu.engine.fused_mem import (FusedAllMemEngine,
+                                           FusedMemEngine,
+                                           build_fused_mem_index)
+    from movi_tpu.engine.fused_search import build_fused_search_index
+    from movi_tpu.io.fastx import make_batches
+    from movi_tpu.parallel.mesh import (ShardedKmerEngine,
+                                        ShardedMemEngine, make_mesh)
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(41)
+    lanes, Wmax, k = 16, 48, 8
+    reads = []
+    for i in range(lanes):
+        L = int(rng.integers(k + 2, Wmax))
+        s = int(rng.integers(0, len(text) - L))
+        reads.append((f"r{i}", text[s:s + L].tobytes()))
+    batch = next(make_batches(reads, lanes=lanes))
+
+    si = build_fused_search_index(ix)
+    want = FusedKmerCountEngine(si, k).query_batch(batch)
+    # sharded: one lane per window, padded to the mesh size
+    amap = si.alphamap_query
+    wins, owners = [], []
+    for i in range(lanes):
+        L = int(batch.lengths[i])
+        a = amap[np.frombuffer(
+            batch.seqs[i, batch.width - L:].tobytes(), np.uint8)]
+        w = np.lib.stride_tricks.sliding_window_view(a, k)
+        wins.append(w)
+        owners.append(np.full(len(w), i))
+    wins = np.concatenate(wins).T.astype(np.int32)
+    owners = np.concatenate(owners)
+    pad = (-wins.shape[1]) % 8
+    if pad:
+        wins = np.concatenate([wins, np.full((k, pad), -1, np.int32)],
+                              axis=1)
+    ke = ShardedKmerEngine(si, k, mesh=mesh)
+    found, cnt = ke.count_windows_device(wins)
+    found = np.asarray(found)[: len(owners)]
+    cnt = np.asarray(cnt)[: len(owners)]
+    f = np.zeros(lanes, dtype=np.int64)
+    t = np.zeros(lanes, dtype=np.int64)
+    np.add.at(f, owners, found.astype(np.int64))
+    np.add.at(t, owners, cnt.astype(np.int64))
+    assert [(int(f[i]), int(t[i])) for i in range(lanes)] == want
+
+    # MEMs: both the min-length machine and all-MEMs
+    mi = build_fused_mem_index(ix)
+    for L_min, ref_eng in ((10, FusedMemEngine(mi, 10)),
+                           (0, FusedAllMemEngine(mi))):
+        want_mem = ref_eng.query_batch(batch)
+        me = ShardedMemEngine(mi, min_mem_length=L_min, mesh=mesh)
+        state = me.query_batch_device(batch.seqs, batch.lengths)
+        ends = np.asarray(state["ends"])
+        counts = np.asarray(state["counts"])
+        got = []
+        for i in range(lanes):
+            nz = np.flatnonzero(ends[i])
+            got.append([(int(p), int(ends[i][p]), int(counts[i][p]))
+                        for p in nz])
+        assert got == want_mem, L_min
+
+
+def test_sharded_search_paired(setup):
+    """Paired search records over the mesh equal the one-step mesh
+    engine (count and ZML)."""
+    text, ix, scalar, fi = setup
+    from movi_tpu.engine.fused_search import build_fused_search_index
+    from movi_tpu.engine.fused_search2 import build_fused_search2_index
+    from movi_tpu.parallel.mesh import ShardedSearchEngine, make_mesh
+
+    mesh = make_mesh(8)
+    rng = np.random.default_rng(43)
+    lanes, Wmax = 16, 40
+    seqs = np.full((lanes, Wmax), 255, dtype=np.uint8)
+    lengths = np.zeros(lanes, dtype=np.int32)
+    for i in range(lanes):
+        L = int(rng.integers(5, Wmax))
+        s = int(rng.integers(0, len(text) - L))
+        seqs[i, Wmax - L:] = text[s:s + L]
+        lengths[i] = L
+
+    se1 = ShardedSearchEngine(build_fused_search_index(ix), mesh=mesh)
+    se2 = ShardedSearchEngine(build_fused_search2_index(ix), mesh=mesh,
+                              paired=True)
+    m1, c1 = se1.count_batch_device(seqs, lengths)
+    m2, c2 = se2.count_batch_device(seqs, lengths)
+    assert np.array_equal(np.asarray(m1), np.asarray(m2))
+    assert np.array_equal(np.asarray(c1), np.asarray(c2))
+    z1 = se1.zml_batch_device(seqs, lengths)
+    z2 = se2.zml_batch_device(seqs, lengths)
+    assert np.array_equal(np.asarray(z1), np.asarray(z2))

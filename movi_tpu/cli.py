@@ -1381,6 +1381,20 @@ def main(argv=None):
     if getattr(args, "validate_flags", False):
         print("flags OK")
         return
+    # Apply the platform choice BEFORE any jax use: --platform wins,
+    # else re-assert the JAX_PLATFORMS env var -- some environments
+    # register an accelerator plugin at interpreter start in a way that
+    # overrides the env var, silently routing CPU-intended runs (e.g.
+    # the test suite's subprocesses) through the accelerator.
+    plat = getattr(args, "platform", None) or os.environ.get(
+        "JAX_PLATFORMS")
+    if plat:
+        try:
+            import jax
+
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass
     if args.filter if hasattr(args, "filter") else False:
         args.classify = True
     from .commons import error, timing

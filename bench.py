@@ -421,69 +421,100 @@ def main():
 
     if os.environ.get("BENCH_PAIRED", "1") != "0":
         # paired 16 B records: one gather per TWO bases (the speed
-        # layout; 400 B/run).  Takes the headline when faster.
-        from movi_tpu.engine.fused2 import build_fused2_index
+        # layout; 400 B/run).  Takes the headline when faster.  Each
+        # section is failure-isolated so a device OOM in an optional
+        # engine never loses the whole artifact.
+        try:
+            from movi_tpu.engine.fused2 import build_fused2_index
 
-        f2 = build_fused2_index(fi_hbm)
-        paired_rate = tpu_rate_paired(f2, reads_hbm, REPS_HBM)
-        out["hbm_paired_gather_bases_per_sec"] = round(paired_rate, 1)
-        out["paired_record_bytes_per_row"] = 16 * (sigma + 1) ** 2
-        out["paired_gather_ceiling_fraction"] = round(
-            paired_rate / 2 / CEIL_16B, 3)
-        hbm_rate = max(hbm_rate, paired_rate)
+            f2 = build_fused2_index(fi_hbm)
+            paired_rate = tpu_rate_paired(f2, reads_hbm, REPS_HBM)
+            out["hbm_paired_gather_bases_per_sec"] = round(paired_rate, 1)
+            out["paired_record_bytes_per_row"] = 16 * (sigma + 1) ** 2
+            out["paired_gather_ceiling_fraction"] = round(
+                paired_rate / 2 / CEIL_16B, 3)
+            hbm_rate = max(hbm_rate, paired_rate)
+            f2_meta = (f2.start_idx, f2.start_offset, f2.p_dollar,
+                       f2.alphamap_query)
+            # free the 400 B/run paired table BEFORE composing the
+            # 800 B/run color table: both at once OOM the chip
+            del f2
+            gc.collect()
+        except Exception as e:  # pragma: no cover - device-dependent
+            out["paired_error"] = repr(e)[:200]
+            f2_meta = None
 
         # paired Movi Color (32 B records, one gather per two bases).
         # The color ids are synthetic (random < 2^16): the gather cost
         # -- the thing measured -- is independent of the coloring.
-        if os.environ.get("BENCH_COLOR", "1") != "0":
-            import jax.numpy as jnp
+        if f2_meta and os.environ.get("BENCH_COLOR", "1") != "0":
+            try:
+                import jax.numpy as jnp
 
-            from movi_tpu.engine.fused2 import _compose_jit
+                from movi_tpu.engine.fused2 import (Fused2Index,
+                                                    compose_records)
 
-            rngc = np.random.default_rng(9)
-            cids = jnp.asarray(rngc.integers(
-                0, 60000, size=fi_hbm.r).astype(np.int32))
-            crecords, _ = _compose_jit(fi_hbm.records, r=fi_hbm.r,
-                                       slots=sigma + 1,
-                                       p_dollar=fi_hbm.p_dollar,
-                                       cids=cids)
-            from movi_tpu.engine.fused2 import Fused2Index
-
-            f2c = Fused2Index(r=fi_hbm.r, sigma=sigma, records=crecords,
-                              start_idx=f2.start_idx,
-                              start_offset=f2.start_offset,
-                              p_dollar=f2.p_dollar,
-                              alphamap_query=f2.alphamap_query)
-            del crecords, cids
-            color_rate = tpu_rate_color_paired(f2c, reads_hbm, REPS_HBM)
-            out["hbm_color_paired_bases_per_sec"] = round(color_rate, 1)
-            del f2c
-        del f2
-        gc.collect()
+                rngc = np.random.default_rng(9)
+                cids = jnp.asarray(rngc.integers(
+                    0, 60000, size=fi_hbm.r).astype(np.int32))
+                crecords, _ = compose_records(fi_hbm.records, r=fi_hbm.r,
+                                              slots=sigma + 1,
+                                              p_dollar=fi_hbm.p_dollar,
+                                              cids=cids)
+                f2c = Fused2Index(r=fi_hbm.r, sigma=sigma,
+                                  records=crecords,
+                                  start_idx=f2_meta[0],
+                                  start_offset=f2_meta[1],
+                                  p_dollar=f2_meta[2],
+                                  alphamap_query=f2_meta[3])
+                del crecords, cids
+                color_rate = tpu_rate_color_paired(f2c, reads_hbm,
+                                                   REPS_HBM)
+                out["hbm_color_paired_bases_per_sec"] = round(
+                    color_rate, 1)
+                del f2c
+                gc.collect()
+            except Exception as e:  # pragma: no cover
+                out["color_error"] = repr(e)[:200]
 
     if os.environ.get("BENCH_SEARCH", "1") != "0":
         # paired backward-search records: count and ZML at one composed
         # 24 B record gather per base (engine/fused_search2.py)
-        from movi_tpu.engine.fused_search2 import build_fused_search2_index
+        try:
+            from movi_tpu.engine.fused_search2 import (
+                build_fused_search2_index)
 
-        ix_hbm = load_large_move_index()
-        s2 = build_fused_search2_index(ix_hbm)
-        del ix_hbm
-        out["hbm_count_bases_per_sec"] = round(
-            tpu_rate_search(s2, reads_hbm, REPS_HBM, "count"), 1)
-        out["hbm_zml_bases_per_sec"] = round(
-            tpu_rate_search(s2, reads_hbm, REPS_HBM, "zml"), 1)
-        out["paired_search_bytes_per_run"] = 2 * 24 * sigma * sigma
-        out["count_gather_ceiling_fraction"] = round(
-            out["hbm_count_bases_per_sec"] / CEIL_24B, 3)
-        del s2
-        gc.collect()
+            ix_hbm = load_large_move_index()
+            s2 = build_fused_search2_index(ix_hbm)
+            del ix_hbm
+            out["hbm_count_bases_per_sec"] = round(
+                tpu_rate_search(s2, reads_hbm, REPS_HBM, "count"), 1)
+            out["hbm_zml_bases_per_sec"] = round(
+                tpu_rate_search(s2, reads_hbm, REPS_HBM, "zml"), 1)
+            out["paired_search_bytes_per_run"] = 2 * 24 * sigma * sigma
+            out["count_gather_ceiling_fraction"] = round(
+                out["hbm_count_bases_per_sec"] / CEIL_24B, 3)
+            del s2
+            gc.collect()
+        except Exception as e:  # pragma: no cover
+            out["search_error"] = repr(e)[:200]
 
     fi_small, text_small = build_small()
     reads_small = make_reads(text_small, LANES, READ_LEN, seed=42)
     out["small_index_runs"] = int(fi_small.r)
     out["small_index_bases_per_sec"] = round(tpu_rate(
         fi_small, reads_small, REPS), 1)
+    if os.environ.get("BENCH_PAIRED", "1") != "0":
+        # cache regime + paired records: the 400 B/run table still fits
+        # VMEM at this r, one 16 B VMEM gather per TWO bases
+        try:
+            from movi_tpu.engine.fused2 import build_fused2_index
+
+            f2s = build_fused2_index(fi_small)
+            out["small_index_paired_bases_per_sec"] = round(
+                tpu_rate_paired(f2s, reads_small, REPS), 1)
+        except Exception as e:  # pragma: no cover
+            out["small_paired_error"] = repr(e)[:200]
 
     print(json.dumps({
         "metric": "pml_bases_per_sec_per_chip_hbm",

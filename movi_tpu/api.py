@@ -298,16 +298,32 @@ class Index:
         return [(n, eng.query_all_kmers(s, k)) for n, s in reads]
 
     def multi_classify(self, reads: Reads, color_table, lanes: int = 8192,
-                       jax: bool = True, **color_kw):
-        """Movi Color multi-class classification: [(name, csv_cell)]."""
+                       jax: bool = True, paired: Optional[bool] = None,
+                       **color_kw):
+        """Movi Color multi-class classification: [(name, csv_cell)].
+        paired: True forces the paired 32 B color records, False the
+        one-step layout; None auto-selects by capacity (engine/select)."""
         reads = _as_reads(reads)
         if jax and self.ix.thr is not None and self._is_bounded():
-            from .engine.fused_color import (FusedColorEngine,
-                                             build_fused_color_index)
+            from .engine.select import use_paired_color
 
-            eng = FusedColorEngine(
-                build_fused_color_index(self.ix, color_table), color_table,
-                **color_kw)
+            if use_paired_color(self.ix.r, self.ix.sigma,
+                                len(color_table.unique_doc_sets),
+                                force=paired):
+                from .engine.fused2 import (Fused2ColorEngine,
+                                            build_fused2_color_index)
+
+                eng = Fused2ColorEngine(
+                    build_fused2_color_index(self._ensure_fused().fi,
+                                             color_table),
+                    color_table, **color_kw)
+            else:
+                from .engine.fused_color import (FusedColorEngine,
+                                                 build_fused_color_index)
+
+                eng = FusedColorEngine(
+                    build_fused_color_index(self.ix, color_table),
+                    color_table, **color_kw)
             out = []
             for batch in make_batches(reads, lanes=lanes):
                 out.extend((n, cell) for n, (_, cell, _)

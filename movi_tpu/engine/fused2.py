@@ -84,13 +84,26 @@ jax.tree_util.register_dataclass(
     meta_fields=["r", "sigma", "start_idx", "start_offset", "p_dollar"])
 
 
-def _compose_records(records1, r: int, slots: int, p_dollar, cids=None):
-    """Compose the one-step records [r*slots, 2] into two-step records
-    [r*slots^2, 4] ON DEVICE: the composition is gathers + elementwise
-    selects, so it runs in seconds where a host numpy loop took ~17 min
-    at r = 5M (and the 2 GB table never crosses the host-device link).
-    Returns (records, (b_min, b_max)); the caller asserts the B-field
-    bounds host-side.
+def _decode1(wa, wb):
+    """One-step record words -> field dict (engine/fused.py packing)."""
+    return dict(
+        m=wa, fa=wb & FA_MASK, fb=(wb >> FB_SHIFT) & FB_MASK,
+        bump=(wb >> BIT_BUMP) & 1, match=(wb >> BIT_MATCH) & 1,
+        use_lf=(wb >> BIT_USE_LF) & 1, d_up=(wb >> BIT_DOLLAR_UP) & 1,
+        d_dn=(wb >> BIT_DOLLAR_DN) & 1)
+
+
+def _compose_chunk(out, records1, cids, c0, r: int, slots: int,
+                   p_dollar, ch: int):
+    """Compose the two-step records for runs [c0, c0+ch) and write them
+    into `out` (donated) at row c0*slots^2.  The composition is gathers
+    + elementwise selects ON DEVICE: it runs in seconds where a host
+    numpy loop took ~17 min at r = 5M, and the table never crosses the
+    host-device link.  Chunking + donation keep the peak at
+    table + O(chunk) instead of 2x table, which is what lets the layout
+    reach its advertised HBM envelope (a 2^25-run compose would OOM a
+    16 GB chip at 2x).  Returns (out, b_min, b_max) -- the caller
+    asserts the B-field bounds host-side.
 
     With `cids` (int32 [r] clamped color ids), emits 8-word records
     whose words 4-6 carry the color ids of both steps' candidate
@@ -98,19 +111,19 @@ def _compose_records(records1, r: int, slots: int, p_dollar, cids=None):
     step-2 {a,b} pairs selected by ff/down) -- the paired Movi Color
     layout (word 7 pads to a power-of-two row)."""
     pd_run, pd_off = p_dollar
-    rec1 = records1.reshape(r, slots, 2)
-    wa, wb = rec1[:, :, 0], rec1[:, :, 1]
-    f1 = dict(
-        m=wa, fa=wb & FA_MASK, fb=(wb >> FB_SHIFT) & FB_MASK,
-        bump=(wb >> BIT_BUMP) & 1, match=(wb >> BIT_MATCH) & 1,
-        use_lf=(wb >> BIT_USE_LF) & 1, d_up=(wb >> BIT_DOLLAR_UP) & 1,
-        d_dn=(wb >> BIT_DOLLAR_DN) & 1)
+    chunk = jax.lax.dynamic_slice_in_dim(
+        records1, c0 * slots, ch * slots).reshape(ch, slots, 2)
+    f1 = _decode1(chunk[:, :, 0], chunk[:, :, 1])
 
     def step2_fields(i_b, a2):
         # unreachable branches may carry out-of-range ids; their slots
-        # are never selected at query time -- clip for the gather
+        # are never selected at query time -- clip for the gather.
+        # Gather the raw 2-word rows and decode AFTER: the gather
+        # operand stays the 40 B/run one-step table instead of eight
+        # materialized full-size field arrays.
         i = jnp.clip(i_b, 0, r - 1)
-        return {k: v[i, a2] for k, v in f1.items()}
+        rows = jnp.take(records1, i * slots + a2, axis=0)
+        return _decode1(rows[:, 0], rows[:, 1])
 
     def descriptor(slope_mask, i_b, c_b, y_b, a2):
         """(A, B, C, kind, flags) for one branch: slope-1 branches carry
@@ -210,27 +223,55 @@ def _compose_records(records1, r: int, slots: int, p_dollar, cids=None):
                 words[6].append(dh[5])
                 words[7].append(jnp.zeros_like(cid1_lo))
 
-    # [r, slots^2] per word -> [r*slots^2, nwords]
+    # [ch, slots^2] per word -> [ch*slots^2, nwords]
     packed = jnp.stack(
-        [jnp.stack(w, axis=1).reshape(-1) for w in words if w], axis=1)
+        [jnp.stack(w, axis=1).reshape(-1) for w in words if w],
+        axis=1).astype(jnp.int32)
     ball = jnp.stack(b_all)
-    return packed.astype(jnp.int32), (ball.min(), ball.max())
+    out = jax.lax.dynamic_update_slice(out, packed,
+                                       (c0 * (slots * slots), 0))
+    return out, ball.min(), ball.max()
 
 
-_compose_jit = jax.jit(_compose_records,
-                       static_argnames=("r", "slots", "p_dollar"))
+_compose_chunk_jit = jax.jit(
+    _compose_chunk, static_argnames=("r", "slots", "p_dollar", "ch"),
+    donate_argnums=(0,))
+
+# compose working set is ~2 * nwords * slots^2 * 4 B per chunk run
+# (~800 B/run for the 4-word PML records): 2^21 runs ~ 1.7 GB scratch
+COMPOSE_CHUNK = 1 << 21
+
+
+def compose_records(records1, r: int, slots: int, p_dollar, cids=None,
+                    chunk_runs: int = 0):
+    """Host driver for the chunked compose: allocate the output table
+    once and fill it chunk-by-chunk with buffer donation (in-place).
+    The last chunk re-composes a few overlapping runs rather than
+    recompiling for a ragged tail."""
+    ch = min(r, chunk_runs or COMPOSE_CHUNK)
+    nw = 4 if cids is None else 8
+    out = jnp.zeros((r * slots * slots, nw), jnp.int32)
+    bmin, bmax = [], []
+    starts = list(range(0, r - ch, ch)) + [r - ch]
+    for c0 in starts:
+        out, bn, bx = _compose_chunk_jit(out, records1, cids,
+                                         jnp.int32(c0), r=r, slots=slots,
+                                         p_dollar=p_dollar, ch=ch)
+        bmin.append(int(bn))
+        bmax.append(int(bx))
+    return out, (min(bmin), max(bmax))
 
 
 def build_fused2_index(fi: FusedIndex) -> Fused2Index:
     """Compose the one-step records into paired two-step records."""
     r, sigma = fi.r, fi.sigma
     assert r < MAX_RUNS, (
-        f"paired records hold 24-bit run ids; r={r} exceeds {MAX_RUNS} "
+        f"paired records hold 25-bit run ids; r={r} exceeds {MAX_RUNS} "
         f"(use the one-step fused engine)")
     slots = sigma + 1
-    records, (bmin, bmax) = _compose_jit(fi.records, r=r, slots=slots,
-                                         p_dollar=fi.p_dollar)
-    assert int(bmin) >= -_BIAS and int(bmax) < _BIAS, (
+    records, (bmin, bmax) = compose_records(fi.records, r=r, slots=slots,
+                                            p_dollar=fi.p_dollar)
+    assert bmin >= -_BIAS and bmax < _BIAS, (
         "composed B field out of its 13-bit range -- corrupt index?")
     return Fused2Index(
         r=r, sigma=sigma, records=records,
@@ -427,9 +468,9 @@ def build_fused2_color_index(fi: FusedIndex, ct) -> Fused2ColorIndex:
     slots = sigma + 1
     cids = jnp.asarray(
         np.minimum(np.asarray(ct.doc_set_inds), C).astype(np.int32))
-    records, (bmin, bmax) = _compose_jit(fi.records, r=r, slots=slots,
-                                         p_dollar=fi.p_dollar, cids=cids)
-    assert int(bmin) >= -_BIAS and int(bmax) < _BIAS
+    records, (bmin, bmax) = compose_records(fi.records, r=r, slots=slots,
+                                            p_dollar=fi.p_dollar, cids=cids)
+    assert bmin >= -_BIAS and bmax < _BIAS
     f2 = Fused2Index(
         r=r, sigma=sigma, records=records,
         start_idx=fi.start_idx, start_offset=fi.start_offset,

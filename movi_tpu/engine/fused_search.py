@@ -148,18 +148,29 @@ def _init_interval(si: FusedSearchIndex, a):
     """initialize_backward_search as ONE gather of the packed
     (first_run, first_offset, last_run, last_offset) record.  Best for
     the tick machines (kmer/MEM) where init competes with record
-    gathers; the per-step ZML path uses the 4-small-takes variant
-    (XLA lowers takes from tiny constant tables more cheaply there)."""
+    gathers; the per-step ZML path uses the one-hot variant below
+    (a per-step take on a tiny table still serializes on the
+    scalar core)."""
     rec = jnp.take(si.init_rec, jnp.maximum(a, 0) + 1, axis=0)
     return rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]
 
 
-def _init_interval_small(si: FusedSearchIndex, a):
-    a1 = jnp.maximum(a, 0) + 1
-    return (jnp.take(si.first_runs, a1, axis=0),
-            jnp.take(si.first_offsets, a1, axis=0),
-            jnp.take(si.last_runs, a1, axis=0),
-            jnp.take(si.last_offsets, a1, axis=0))
+def _onehot_rows(table, idx):
+    """Row-select from a TINY table as a one-hot compare-and-sum: pure
+    VPU work that fuses next to a step's HBM record gather, where a
+    `jnp.take` would issue a second gather serialized on the same
+    scalar core (measured +31% on paired ZML; docs/PERF.md)."""
+    n = table.shape[0]
+    oh = idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None, :]
+    return jnp.sum(jnp.where(oh[:, :, None], table[None, :, :], 0),
+                   axis=1)
+
+
+def _init_interval_oh(si: FusedSearchIndex, a):
+    """initialize_backward_search inside a per-step scan body: one-hot
+    row select so the init does not compete with the record gather."""
+    rec = _onehot_rows(si.init_rec, jnp.maximum(a, 0) + 1)
+    return rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]
 
 
 # current interval keys and the keys holding the last non-empty interval
@@ -240,7 +251,7 @@ def _zml_carry(si: FusedSearchIndex, alphas_t: jax.Array, state):
         nrs, nos, nre, noe, empty = fused_bs_step(
             si, state["rs"], state["os"], state["re"], state["oe"], a_next)
         ext_ok = state["have"] & ~empty
-        irs, ios, ire, ioe = _init_interval_small(si, a_next)
+        irs, ios, ire, ioe = _init_interval_oh(si, a_next)
         legal = a_next >= 0
         new = dict(
             rs=jnp.where(ext_ok, nrs, irs),

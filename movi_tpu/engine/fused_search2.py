@@ -61,7 +61,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .fused_search import FusedSearchIndex
+from .fused_search import FusedSearchIndex, _onehot_rows
 from ..index.structure import MoveIndex
 from ..io.fastx import ReadBatch
 
@@ -97,11 +97,15 @@ jax.tree_util.register_dataclass(
 )
 
 
-def _compose_search2(id_a, off_a, n_a, nu, nd, r: int, sigma: int):
-    """Compose the per-direction two-step records ON DEVICE (gathers +
-    selects over [r] vectors, like engine/fused2.py's compose): the
-    final table (768 B/run) never crosses the host-device link."""
-    idxs = jnp.arange(r, dtype=jnp.int32)
+def _compose_search2_chunk(out, id_a, off_a, n_a, nu, nd, c0, r: int,
+                           sigma: int, ch: int):
+    """Compose the per-direction two-step records for runs [c0, c0+ch)
+    ON DEVICE (gathers + selects over [ch] vectors, like
+    engine/fused2.py's compose) and write them into `out` (donated):
+    the final table (768 B/run) never crosses the host-device link, and
+    chunking keeps the compose peak at table + O(chunk) instead of
+    2x table."""
+    idxs = c0 + jnp.arange(ch, dtype=jnp.int32)
     cum = jnp.where(id_a < r - 1, n_a[jnp.clip(id_a, 0, r - 1)], GUARD)
 
     def fields(tab_a, up: bool, cur_run):
@@ -132,15 +136,41 @@ def _compose_search2(id_a, off_a, n_a, nu, nd, r: int, sigma: int):
                 words[3].append(B1 | (C1 << 12))
                 words[4].append(B2l | (C2l << 12))
                 words[5].append(B2h | (C2h << 12))
-    # [r] per (dir, a1, a2) -> run-major [2*r*sigma^2, 6]
-    return jnp.stack(
-        [jnp.stack(w).reshape(2, sigma * sigma, r)
-         .transpose(0, 2, 1).reshape(-1) for w in words],
-        axis=1).astype(jnp.int32)
+    # [ch] per (dir, a1, a2) -> run-major [2, ch*sigma^2, 6]; the two
+    # direction slabs land at rows c0*S2 and r*S2 + c0*S2
+    S2 = sigma * sigma
+    cols = jnp.stack(
+        [jnp.stack(w).reshape(2, S2, ch).transpose(0, 2, 1)
+         .reshape(2, ch * S2) for w in words],
+        axis=2).astype(jnp.int32)
+    out = jax.lax.dynamic_update_slice(out, cols[0], (c0 * S2, 0))
+    out = jax.lax.dynamic_update_slice(out, cols[1],
+                                       (r * S2 + c0 * S2, 0))
+    return out
 
 
-_compose_search2_jit = jax.jit(_compose_search2,
-                               static_argnames=("r", "sigma"))
+_compose_search2_chunk_jit = jax.jit(
+    _compose_search2_chunk, static_argnames=("r", "sigma", "ch"),
+    donate_argnums=(0,))
+
+# compose working set is ~2 * 2 * sigma^2 * 6 * 4 B per chunk run
+# (~1.5 kB/run for DNA): 2^20 runs ~ 1.6 GB scratch
+COMPOSE_CHUNK = 1 << 20
+
+
+def compose_search2(id_a, off_a, n_a, nu, nd, r: int, sigma: int,
+                    chunk_runs: int = 0):
+    """Host driver for the chunked compose (see engine/fused2.py's
+    compose_records): allocate once, fill chunk-by-chunk with buffer
+    donation; the last chunk re-composes overlapping runs rather than
+    recompiling for a ragged tail."""
+    ch = min(r, chunk_runs or COMPOSE_CHUNK)
+    out = jnp.zeros((2 * r * sigma * sigma, 6), jnp.int32)
+    for c0 in list(range(0, r - ch, ch)) + [r - ch]:
+        out = _compose_search2_chunk_jit(out, id_a, off_a, n_a, nu, nd,
+                                         jnp.int32(c0), r=r, sigma=sigma,
+                                         ch=ch)
+    return out
 
 
 def _restart_table(ix: MoveIndex) -> np.ndarray:
@@ -196,7 +226,7 @@ def build_fused_search2_index(ix: MoveIndex) -> FusedSearch2Index:
         "paired search records pack 12-bit B/C fields")
 
     nu, nd = ix.next_tables_search()
-    rec_all = _compose_search2_jit(
+    rec_all = compose_search2(
         jnp.asarray(ix.id_arr.astype(np.int32)),
         jnp.asarray(ix.offset_arr.astype(np.int32)),
         jnp.asarray(ix.n_arr.astype(np.int32)),
@@ -378,7 +408,7 @@ def _zml_pair_body(s2: FusedSearch2Index):
     sigma = s2.sigma
 
     def init_i(a):
-        rec = jnp.take(s2.init_rec, jnp.maximum(a, 0) + 1, axis=0)
+        rec = _onehot_rows(s2.init_rec, jnp.maximum(a, 0) + 1)
         return rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]
 
     def body(state, v):
@@ -392,8 +422,8 @@ def _zml_pair_body(s2: FusedSearch2Index):
         ok1 = state["have"] & ~empty1
         ml1 = jnp.where(ok1, state["ml"] + 1, 0)
         # step a2 off the restart interval when a1's extension failed:
-        # a pure function of (a1, a2), precomputed (one VMEM take)
-        rst = jnp.take(s2.restart_rec, a12, axis=0)
+        # a pure function of (a1, a2), precomputed (one-hot contraction)
+        rst = _onehot_rows(s2.restart_rec, a12)
         okA = ok1 & ~empty2
         okB = ~ok1 & l1 & l2 & (rst[:, 4] == 0)
         ok2 = okA | okB

@@ -19,6 +19,12 @@ DEFAULT_HBM_BYTES = 16 << 30     # one v5e chip
 # leave room for the one-step records (compose input), read batches,
 # color tables, and XLA scratch
 BUDGET_FRACTION = 0.5
+# tables at or under this stay VMEM-resident and gather at 215-260 M
+# rows/s (docs/PERF.md section 1) -- measured: a VMEM one-step table
+# beats the paired layout (202 vs 169 Mbases/s at r = 122k, where the
+# 49 MB paired table has already spilled to HBM), so small indexes
+# keep the one-step engine
+VMEM_TABLE_BYTES = 5 << 20
 
 
 def device_memory_budget() -> int:
@@ -48,6 +54,12 @@ def paired_search_table_bytes(r: int, sigma: int) -> int:
     return 2 * 24 * sigma * sigma * r
 
 
+def one_step_fits_vmem(r: int, sigma: int) -> bool:
+    """True when the one-step fused table (8 B/slot) is small enough to
+    stay VMEM-resident, where it out-gathers any HBM layout."""
+    return 8 * (sigma + 1) * r <= VMEM_TABLE_BYTES
+
+
 def use_paired_pml(r: int, sigma: int,
                    force: Optional[bool] = None) -> bool:
     """True when PML should run on the paired two-base records."""
@@ -55,6 +67,8 @@ def use_paired_pml(r: int, sigma: int,
 
     if force is not None:
         return force
+    if one_step_fits_vmem(r, sigma):
+        return False
     return (r < MAX_RUNS and paired_pml_table_bytes(r, sigma)
             <= BUDGET_FRACTION * device_memory_budget())
 
@@ -67,6 +81,8 @@ def use_paired_color(r: int, sigma: int, num_sets: int,
 
     if force is not None:
         return force and num_sets + 1 <= 0xFFFF
+    if 12 * (sigma + 1) * r <= VMEM_TABLE_BYTES:  # one-step color table
+        return False
     return (r < MAX_RUNS and num_sets + 1 <= 0xFFFF
             and 2 * paired_pml_table_bytes(r, sigma)
             <= BUDGET_FRACTION * device_memory_budget())
@@ -79,6 +95,8 @@ def use_paired_search(r: int, sigma: int,
 
     if force is not None:
         return force
+    if 32 * sigma * r <= VMEM_TABLE_BYTES:  # one-step search table
+        return False
     return (r < MAX_RUNS and sigma + 2 <= 8
             and paired_search_table_bytes(r, sigma)
             <= BUDGET_FRACTION * device_memory_budget())

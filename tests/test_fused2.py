@@ -119,3 +119,53 @@ def test_w0_packs_25_bit_run_ids():
             idx, o, *_ = _fused2_decode(rec, jnp.asarray([off]), (0, 0))
             assert int(idx[0]) == want_A
             assert int(o[0]) == want_C
+
+
+def test_chunked_compose_matches_single_shot(setup):
+    """The run-chunked donating compose (which bounds peak memory at
+    table + O(chunk) so the 2^25-run envelope is reachable on a 16 GB
+    chip) writes the identical table as a one-shot compose, including
+    the overlapping-tail re-compose and the 8-word color variant."""
+    import jax.numpy as jnp
+
+    from movi_tpu.engine.fused2 import compose_records
+
+    text, ix, sc, eng = setup
+    fi = build_fused_index(ix)
+    r, slots = fi.r, fi.sigma + 1
+    one, b_one = compose_records(fi.records, r=r, slots=slots,
+                                 p_dollar=fi.p_dollar, chunk_runs=r)
+    # a chunk size that neither divides r nor aligns to it: forces
+    # multiple chunks plus the overlapping last-chunk recompose
+    many, b_many = compose_records(fi.records, r=r, slots=slots,
+                                   p_dollar=fi.p_dollar,
+                                   chunk_runs=r // 3 - 1)
+    assert b_one == b_many
+    assert np.array_equal(np.asarray(one), np.asarray(many))
+
+    cids = jnp.asarray((np.arange(r) * 7 % 1000).astype(np.int32))
+    onec, _ = compose_records(fi.records, r=r, slots=slots,
+                              p_dollar=fi.p_dollar, cids=cids,
+                              chunk_runs=r)
+    manyc, _ = compose_records(fi.records, r=r, slots=slots,
+                               p_dollar=fi.p_dollar, cids=cids,
+                               chunk_runs=r // 4 + 3)
+    assert np.array_equal(np.asarray(onec), np.asarray(manyc))
+
+
+def test_chunked_search2_compose_matches_single_shot(setup):
+    from movi_tpu.engine.fused_search2 import compose_search2
+
+    text, ix, sc, eng = setup
+    import jax.numpy as jnp
+    r, sigma = ix.r, ix.sigma
+    nu, nd = ix.next_tables_search()
+    args = (jnp.asarray(ix.id_arr.astype(np.int32)),
+            jnp.asarray(ix.offset_arr.astype(np.int32)),
+            jnp.asarray(ix.n_arr.astype(np.int32)),
+            jnp.asarray(nu.astype(np.int32)),
+            jnp.asarray(nd.astype(np.int32)))
+    one = compose_search2(*args, r=r, sigma=sigma, chunk_runs=r)
+    many = compose_search2(*args, r=r, sigma=sigma,
+                           chunk_runs=r // 3 - 1)
+    assert np.array_equal(np.asarray(one), np.asarray(many))

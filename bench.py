@@ -201,6 +201,35 @@ def tpu_rate_search(s2, reads, reps, kind):
     return lanes * read_len / dt
 
 
+def tpu_rate_kmer(s2, reps, k=31, nk=32768):
+    """Timed exact k-mer counts (kmers/sec): k-1 backward extensions as
+    composed pairs on the paired search records (one lane per k-mer,
+    engine/fused_search2.py fused2_kmer_count_scan)."""
+    import jax
+    import jax.numpy as jnp
+
+    from movi_tpu.engine.fused_search2 import fused2_kmer_count_scan
+
+    rng = np.random.default_rng(5)
+    al = jnp.asarray(rng.integers(0, s2.sigma,
+                                  size=(k, nk)).astype(np.int32))
+
+    @jax.jit
+    def run_reps(s2x, al):
+        def onebatch(i, acc):
+            al2 = al.at[0].set((al[0] + i) % s2x.sigma)
+            f, c = fused2_kmer_count_scan(s2x, al2, k)
+            return (acc + f.astype(jnp.int64).sum()
+                    + c.astype(jnp.int64).sum())
+        return jax.lax.fori_loop(0, reps, onebatch, jnp.int64(0))
+
+    _ = np.asarray(run_reps(s2, al))  # compile + warm
+    t0 = time.time()
+    _ = int(np.asarray(run_reps(s2, al)))
+    dt = (time.time() - t0) / reps
+    return nk / dt
+
+
 def tpu_rate_color_paired(f2c, reads, reps):
     """Timed paired Movi Color throughput: PML + per-base color ids at
     one 32 B gather per TWO bases (engine/fused2.py color records)."""
@@ -494,6 +523,8 @@ def main():
             out["paired_search_bytes_per_run"] = 2 * 24 * sigma * sigma
             out["count_gather_ceiling_fraction"] = round(
                 out["hbm_count_bases_per_sec"] / CEIL_24B, 3)
+            out["hbm_kmer_counts_per_sec"] = round(
+                tpu_rate_kmer(s2, REPS_HBM), 1)
             del s2
             gc.collect()
         except Exception as e:  # pragma: no cover

@@ -24,7 +24,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .fused_search import FusedSearchIndex, _init_interval, fused_bs_step
+from .fused_search import (FusedSearchIndex, _char_select,
+                           _emit_add, _init_interval,
+                           _init_interval_oh, fused_bs_step)
 from ..io.fastx import ReadBatch
 
 
@@ -52,10 +54,10 @@ def _kmer_scan(si: FusedSearchIndex, alphas: jax.Array, state, k: int,
     lane_iota = jnp.arange(lanes)
 
     def char_at(pos):
-        # gather each lane's char at its own position (clamped; caller
-        # guards validity)
-        p = jnp.clip(pos, 0, W - 1)
-        return alphas[lane_iota, p]
+        # each lane's char at its own position (clamped; caller guards
+        # validity) -- one-hot on the VPU for typical widths so it does
+        # not compete with the tick's record gather
+        return _char_select(alphas, lane_iota, pos)
 
     def tick(state, _):
         phase = state["phase"]
@@ -68,7 +70,7 @@ def _kmer_scan(si: FusedSearchIndex, alphas: jax.Array, state, k: int,
         # skip illegal chars: pos -= 1 (query_all_kmers:341-343,417-419)
         pos1 = jnp.where(anchor_illegal, pos - 1, pos)
         anchored = (phase == 0) & (c_anchor >= 0)
-        irs, ios, ire, ioe = _init_interval(si, c_anchor)
+        irs, ios, ire, ioe = _init_interval_oh(si, c_anchor)
         rs = jnp.where(anchored, irs, state["rs"])
         os_ = jnp.where(anchored, ios, state["os"])
         re = jnp.where(anchored, ire, state["re"])
@@ -97,9 +99,8 @@ def _kmer_scan(si: FusedSearchIndex, alphas: jax.Array, state, k: int,
         matched = pos1 - cur2  # pos_saved - pos_on_r in the reference
         found = matched - k + 2
         emit = terminated & (matched >= k - 1)
-        out = state["out"]
-        out = out.at[lane_iota, jnp.clip(cur2, 0, W - 1)].add(
-            jnp.where(emit, found, 0))
+        out = _emit_add(state["out"], lane_iota, cur2,
+                        jnp.where(emit, found, 0))
         # new anchor: cur + k - 2 on success, pos - 1 otherwise
         new_pos = jnp.where(emit, cur2 + k - 2, pos1 - 1)
         pos2 = jnp.where(terminated, new_pos, pos1)

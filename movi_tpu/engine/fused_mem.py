@@ -37,7 +37,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .fused_search import (FusedSearchIndex, _init_interval,
+from .fused_search import (FusedSearchIndex, _char_select,
+                           _emit_add, _init_interval_oh,
                            build_fused_search_index, fused_bs_step)
 from ..index.structure import MoveIndex
 from ..io.fastx import ReadBatch
@@ -121,7 +122,8 @@ def _mem_scan(mi: FusedMemIndex, alphas: jax.Array, state, L: int,
     lane_iota = jnp.arange(lanes)
 
     def char_at(p):
-        return alphas[lane_iota, jnp.clip(p, 0, W - 1)]
+        # one-hot on the VPU for typical widths (see _char_select)
+        return _char_select(alphas, lane_iota, p)
 
     m = jnp.sum(alphas > -2, axis=1).astype(jnp.int32)  # per-lane length
 
@@ -137,9 +139,9 @@ def _mem_scan(mi: FusedMemIndex, alphas: jax.Array, state, L: int,
         is_init = phase == INIT
         past_end = pos + L > m
         c0 = char_at(pos + L - 1)
-        i_frs, i_fos, i_fre, i_foe = _init_interval(si, c0)
+        i_frs, i_fos, i_fre, i_foe = _init_interval_oh(si, c0)
         c0r = jnp.where(c0 >= 0, sigma - 1 - c0, -1)
-        i_rrs, i_ros, i_rre, i_roe = _init_interval(si, c0r)
+        i_rrs, i_ros, i_rre, i_roe = _init_interval_oh(si, c0r)
         do_init = is_init & ~past_end & (c0 >= 0)
         # illegal window-end char: the fw init interval is empty, so the
         # first extend_left fails at j=0 and the scan re-anchors at
@@ -227,10 +229,10 @@ def _mem_scan(mi: FusedMemIndex, alphas: jax.Array, state, L: int,
         jc2 = jnp.where(fwd_ok, jc + 1, jc2)
         fwd_fail = in_fwd & ~ok
         mem_count = _count(si.all_p, rrs, ros, rre, roe)
-        ends = state["ends"].at[lane_iota, jnp.clip(pos, 0, W - 1)].add(
-            jnp.where(fwd_fail, jc, 0))
-        counts = state["counts"].at[lane_iota, jnp.clip(pos, 0, W - 1)].add(
-            jnp.where(fwd_fail, mem_count, 0))
+        ends = _emit_add(state["ends"], lane_iota, pos,
+                         jnp.where(fwd_fail, jc, 0))
+        counts = _emit_add(state["counts"], lane_iota, pos,
+                           jnp.where(fwd_fail, mem_count, 0))
         # after emitting at end = i: NEXT scan (or DONE at read end)
         end2 = jnp.where(fwd_fail, jc, end)
         at_read_end = fwd_fail & (jc >= m)
@@ -239,7 +241,7 @@ def _mem_scan(mi: FusedMemIndex, alphas: jax.Array, state, L: int,
         # NEXT init: fw = init(seq[end]) (init_search at end_pos), jc = 0
         go_next = fwd_fail & ~at_read_end
         c_end = char_at(end2)
-        nx_rs, nx_os, nx_re, nx_oe = _init_interval(si, c_end)
+        nx_rs, nx_os, nx_re, nx_oe = _init_interval_oh(si, c_end)
         # illegal char at end: the init interval is empty -> the first
         # NEXT step fails with jc=0 -> pos = end
         frs2 = jnp.where(go_next, nx_rs, frs2)
@@ -310,21 +312,22 @@ def _all_mem_scan(mi: FusedMemIndex, alphas: jax.Array, ticks: int, state):
     m = jnp.sum(alphas > -2, axis=1).astype(jnp.int32)
 
     def char_at(p):
-        return alphas[lane_iota, jnp.clip(p, 0, W - 1)]
+        # one-hot on the VPU for typical widths (see _char_select)
+        return _char_select(alphas, lane_iota, p)
 
     def init_pair(c0):
         """init_bidirectional at a char: fw from c0 (canonical empty
         interval (1,0,0,0) when illegal), rc from its complement
         (complement of any unknown-but-'#' char is 'A',
         utils.cpp:87-91)."""
-        i_frs, i_fos, i_fre, i_foe = _init_interval(si, c0)
+        i_frs, i_fos, i_fre, i_foe = _init_interval_oh(si, c0)
         legal = c0 >= 0
         frs = jnp.where(legal, i_frs, 1)
         fos = jnp.where(legal, i_fos, 0)
         fre = jnp.where(legal, i_fre, 0)
         foe = jnp.where(legal, i_foe, 0)
         c0r = jnp.where(legal, sigma - 1 - c0, jnp.where(c0 == -1, 0, -1))
-        i_rrs, i_ros, i_rre, i_roe = _init_interval(si, c0r)
+        i_rrs, i_ros, i_rre, i_roe = _init_interval_oh(si, c0r)
         rlegal = c0r >= 0
         rrs = jnp.where(rlegal, i_rrs, 1)
         ros = jnp.where(rlegal, i_ros, 0)
@@ -381,10 +384,10 @@ def _all_mem_scan(mi: FusedMemIndex, alphas: jax.Array, ticks: int, state):
         # RIGHT termination: emit (s, s+ml, count(fw)) at index s
         right_stop = in_right & ~right_ok & (phase != AM_DONE)
         mem_cnt = _count(si.all_p, frs, fos, fre, foe)
-        ends = state["ends"].at[lane_iota, jnp.clip(s, 0, W - 1)].add(
-            jnp.where(right_stop, s + ml, 0))
-        counts = state["counts"].at[lane_iota, jnp.clip(s, 0, W - 1)].add(
-            jnp.where(right_stop, mem_cnt, 0))
+        ends = _emit_add(state["ends"], lane_iota, s,
+                         jnp.where(right_stop, s + ml, 0))
+        counts = _emit_add(state["counts"], lane_iota, s,
+                           jnp.where(right_stop, mem_cnt, 0))
         e2 = jnp.where(right_stop, s + ml, e)
         at_end = right_stop & (s + ml >= m)
         phase2 = jnp.where(at_end, AM_DONE, phase)
@@ -446,11 +449,11 @@ class FusedAllMemEngine:
         import jax as _jax
 
         def make_state():
-            i_frs, i_fos, i_fre, i_foe = _init_interval(si, c0)
+            i_frs, i_fos, i_fre, i_foe = _init_interval_oh(si, c0)
             legal = c0 >= 0
             c0r = jnp.where(legal, sigma - 1 - c0,
                             jnp.where(c0 == -1, 0, -1))
-            i_rrs, i_ros, i_rre, i_roe = _init_interval(si, c0r)
+            i_rrs, i_ros, i_rre, i_roe = _init_interval_oh(si, c0r)
             rlegal = c0r >= 0
             return dict(
                 phase=jnp.where(lengths > 0, AM_RIGHT, AM_DONE

@@ -81,7 +81,7 @@ class FusedSearch2Index:
     # as ONE gather (two dependent gathers serialize, docs/PERF.md)
     rec_all: jax.Array    # int32 [2*r*sigma^2, 6]
     # init_rec[a+1] = (first_run, first_offset, last_run, last_offset)
-    init_rec: jax.Array   # int32 [sigma+2, 4]
+    init_rec: jax.Array   # int32 [sigma+1, 4]
     # restart_rec[a1*sigma+a2] = one bs step from init(a1) with a2:
     # (rs, os, re, oe, empty) -- ZML's mid-pair restart (VMEM-tiny)
     restart_rec: jax.Array  # int32 [sigma^2, 5]

@@ -176,11 +176,12 @@ def run_sharded_query(index_dir: str, read_path: str, num_hosts: int,
                       host_id: int, qt: str = "pml", lanes: int = 8192,
                       classify: bool = False, bin_width: int = 150,
                       out_prefix: Optional[str] = None,
-                      paired: Optional[bool] = None) -> dict:
+                      paired: Optional[bool] = None, k: int = 31,
+                      min_mem_length: int = 0) -> dict:
     """One host's share of a distributed query: PML/ZML (+ optional
-    binary classification), count, or multi-class -- the same one-
-    runtime-all-query-types surface as the reference's OpenMP loop
-    (movi.cpp:274-386).  Writes per-host output shards, reduces the
+    binary classification), count, multi-class, MEM finding, or exact
+    k-mer counts -- the same one-runtime-all-query-types surface as the
+    reference's OpenMP loop (movi.cpp:274-386).  Writes per-host output shards, reduces the
     aggregate counters across processes, and merges on host 0.  Engine
     caches persisted by Index.save / build --fused-cache/--paired-cache
     are reused (no per-host O(r*sigma) rebuild), and the paired speed
@@ -211,6 +212,27 @@ def run_sharded_query(index_dir: str, read_path: str, num_hosts: int,
             for (name, (pos, cnt)), (_, seq) in zip(out, reads):
                 f.write(count_line(name, len(seq), pos, cnt) + "\n")
         merged_name = prefix + ".matches"
+        merged_header = b""
+    elif qt == "mems":
+        from ..io.outputs import mem_lines
+
+        out = index.query_mems(reads, min_mem_length=min_mem_length,
+                               lanes=lanes)
+        part = f"{prefix}.mems.part{host_id}"
+        with open(part, "w") as f:
+            for name, mems in out:
+                for ln in mem_lines(name, mems):
+                    f.write(ln + "\n")
+        merged_name = prefix + ".mems"
+        merged_header = b""
+    elif qt == "kmers":
+        out = index.query_kmers(reads, k=k, counts=True, lanes=lanes,
+                                paired=paired)
+        part = f"{prefix}.kmers.part{host_id}"
+        with open(part, "w") as f:
+            for (name, (fk, total)), (_, seq) in zip(out, reads):
+                f.write(f"{name}\t{fk}/{len(seq) - k + 1}\t{total}\n")
+        merged_name = f"{prefix}.kmers.{k}"
         merged_header = b""
     elif qt == "multiclass":
         from ..cli import _load_color_table
@@ -289,6 +311,11 @@ def main(argv=None):
     p.add_argument("--zml", action="store_true")
     p.add_argument("--count", action="store_true")
     p.add_argument("--multi-classify", action="store_true")
+    p.add_argument("--mems", action="store_true")
+    p.add_argument("--kmers", action="store_true",
+                   help="exact k-mer counts (see --k)")
+    p.add_argument("--k", type=int, default=31)
+    p.add_argument("--min-mem-length", type=int, default=0)
     p.add_argument("--classify", action="store_true")
     p.add_argument("--paired-records", action="store_true",
                    help="force the paired speed layouts (default: "
@@ -307,6 +334,7 @@ def main(argv=None):
         jax.config.update("jax_platforms", args.platform)
     initialize(args.coordinator, args.num_hosts, args.host_id)
     qt = ("multiclass" if args.multi_classify else
+          "mems" if args.mems else "kmers" if args.kmers else
           "count" if args.count else "zml" if args.zml else "pml")
     paired = (True if args.paired_records
               else False if args.no_paired_records else None)
@@ -314,7 +342,8 @@ def main(argv=None):
         args.index, args.read, args.num_hosts, args.host_id,
         qt=qt, lanes=args.lanes,
         classify=args.classify, bin_width=args.bin_width,
-        out_prefix=args.out_prefix, paired=paired)
+        out_prefix=args.out_prefix, paired=paired, k=args.k,
+        min_mem_length=args.min_mem_length)
     if args.host_id == 0:
         print(f"found {res['found']}/{res['total']} -> {res['out']}")
 

@@ -213,3 +213,73 @@ def test_two_process_count_and_multiclass_merge(tmp_path):
         c2 = f.read()
     assert c1 == c2
     assert len(c1.splitlines()) == len(reads)
+
+
+def test_two_process_mems_and_kmers_merge(tmp_path):
+    """MEM finding and exact k-mer counts run under the same multihost
+    runtime: 2-process merged outputs byte-identical to 1-host runs
+    (completing the movi.cpp:274-386 every-query-type surface)."""
+    rng = np.random.default_rng(23)
+    bases = "ACGT"
+    fasta = str(tmp_path / "ref.fa")
+    doc = "".join(rng.choice(list(bases), size=2500))
+    with open(fasta, "w") as f:
+        f.write(f">doc\n{doc}\n")
+    idx = str(tmp_path / "idx")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "movi_tpu.cli", "build",
+         "--fasta", fasta, "--index", idx, "--skip-null"],
+        cwd=REPO, env=env, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr
+
+    reads_path = str(tmp_path / "reads.fastq")
+    reads = []
+    for k in range(10):
+        s = int(rng.integers(0, 2400))
+        seq = list(doc[s:s + 70])
+        if k % 2:  # mismatches break up the MEMs
+            for pos in rng.integers(0, 70, size=3):
+                seq[int(pos)] = bases[int(rng.integers(0, 4))]
+        reads.append((f"r{k}", "".join(seq)))
+    _write_fastq(reads_path, reads)
+
+    def run(num_hosts, tag, *flags):
+        prefix = str(tmp_path / tag)
+        port = _free_port()
+        procs = [
+            _launch(["--coordinator", f"127.0.0.1:{port}",
+                     "--num-hosts", str(num_hosts), "--host-id", str(h),
+                     "--index", idx, "--read", reads_path, *flags,
+                     "--platform", "cpu", "--out-prefix", prefix])
+            for h in range(num_hosts)
+        ]
+        for p in procs:
+            out, err = p.communicate(timeout=420)
+            assert p.returncode == 0, err
+        return prefix
+
+    p1 = run(1, "mem_one", "--mems", "--min-mem-length", "12")
+    p2 = run(2, "mem_two", "--mems", "--min-mem-length", "12")
+    with open(p1 + ".mems") as f:
+        m1 = f.read()
+    with open(p2 + ".mems") as f:
+        m2 = f.read()
+    assert m1 == m2
+    assert len(m1.splitlines()) >= len(reads)
+
+    p1 = run(1, "km_one", "--kmers", "--k", "21")
+    p2 = run(2, "km_two", "--kmers", "--k", "21")
+    with open(p1 + ".kmers.21") as f:
+        k1 = f.read()
+    with open(p2 + ".kmers.21") as f:
+        k2 = f.read()
+    assert k1 == k2
+    assert len(k1.splitlines()) == len(reads)
+    # exact counts: every clean read's k-mers all occur at least once
+    for ln in k1.splitlines():
+        name, frac, total = ln.split("\t")
+        if int(name[1:]) % 2 == 0:
+            a, b = frac.split("/")
+            assert a == b and int(total) >= int(b)

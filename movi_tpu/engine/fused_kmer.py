@@ -196,25 +196,23 @@ class FusedKmerEngine:
         # LEFT-align reads in read order for per-lane position indexing
         W = batch.width
         lanes = batch.lanes
-        alphas = np.full((lanes, W), -1, dtype=np.int32)
-        amap = self.si.alphamap_query
-        for i in range(lanes):
-            L = int(batch.lengths[i])
-            alphas[i, :L] = amap[
-                np.frombuffer(batch.seqs[i, W - L:].tobytes(), np.uint8)]
+        from ..io.fastx import left_aligned_slots
+
         ticks = 2 * W + 64
-        al = jnp.asarray(alphas)
+        al = jnp.asarray(left_aligned_slots(batch, self.si.alphamap_query,
+                                            fill=-1))
         state = make_kmer_state(lanes, W,
                                 jnp.asarray(batch.lengths.astype(np.int32)),
                                 self.k)
-        # worst case is O(W*k) ticks (same as the scalar re-scan overlap);
-        # resume the scan until every lane is done
-        for _ in range(self.k + 4):
-            state, done = _kmer_scan(self.si, al, state, self.k, ticks)
-            if bool(done):
-                break
-        assert bool(done), "kmer scan did not converge"
-        out_all = np.asarray(state["out"])
+        # worst case is O(W*k) ticks (same as the scalar re-scan
+        # overlap); resume until every lane is done, with retired lanes
+        # compacted out between quanta (fused_mem._resume_compacted)
+        from .fused_mem import _resume_compacted
+
+        (out_all,) = _resume_compacted(
+            lambda a, st: _kmer_scan(self.si, a, st, self.k, ticks),
+            state, al, lanes, W, done_phase=2, max_iters=self.k + 4,
+            emit_keys=("out",))
         res = []
         for i in range(lanes):
             nz = np.flatnonzero(out_all[i])

@@ -54,11 +54,19 @@ class FusedMemIndex:
     # u = per-row weight (comp(char(run)) < t, or the '$' run)
     skip_rec: jax.Array   # int32 [sigma*r, 2]
     all_p64: jax.Array    # int32 [r+1] for searchsorted reposition
+    # pos2run[abs] = run containing BWT row abs: turns the per-tick
+    # rc-interval reposition from a ~log2(r)-round dependent-gather
+    # binary search (jnp.searchsorted) into TWO gathered rows.  4 B per
+    # BWT position; built when n <= POS2RUN_MAX_N, else None (the
+    # searchsorted fallback).
+    pos2run: jax.Array | None = None
 
 
 jax.tree_util.register_dataclass(
-    FusedMemIndex, data_fields=["si", "skip_rec", "all_p64"],
+    FusedMemIndex, data_fields=["si", "skip_rec", "all_p64", "pos2run"],
     meta_fields=[])
+
+POS2RUN_MAX_N = 1 << 28   # 1 GB of pos2run; past this, searchsorted
 
 
 def build_fused_mem_index(ix: MoveIndex) -> FusedMemIndex:
@@ -80,10 +88,15 @@ def build_fused_mem_index(ix: MoveIndex) -> FusedMemIndex:
         P = np.concatenate([[0], np.cumsum(w)[:-1]])
         skip[t, :, 0] = P
         skip[t, :, 1] = u
+    n = int(ix.all_p[-1])
+    pos2run = None
+    if n <= POS2RUN_MAX_N:
+        pos2run = jnp.asarray(np.repeat(
+            np.arange(r, dtype=np.int32), ix.n_arr.astype(np.int64)))
     return FusedMemIndex(
         si=si,
         skip_rec=jnp.asarray(skip.reshape(sigma * r, 2).astype(np.int32)),
-        all_p64=si.all_p)
+        all_p64=si.all_p, pos2run=pos2run)
 
 
 def _resolve(all_p, abs_pos):
@@ -91,6 +104,18 @@ def _resolve(all_p, abs_pos):
     as a fixed-depth searchsorted, SURVEY.md 'hard parts')."""
     run = jnp.searchsorted(all_p, abs_pos, side="right").astype(jnp.int32) - 1
     return run, abs_pos - jnp.take(all_p, run, axis=0)
+
+
+def _resolve_mi(mi: "FusedMemIndex", abs_pos):
+    """Tick-machine reposition: one pos2run row + one all_p row when
+    the direct table exists (inactive lanes carry garbage positions --
+    clip for the gather; their results are never selected), else the
+    searchsorted fallback."""
+    if mi.pos2run is not None:
+        n = mi.pos2run.shape[0]
+        run = jnp.take(mi.pos2run, jnp.clip(abs_pos, 0, n - 1), axis=0)
+        return run, abs_pos - jnp.take(mi.si.all_p, run, axis=0)
+    return _resolve(mi.si.all_p, abs_pos)
 
 
 def _count(all_p, rs, os_, re, oe):
@@ -199,8 +224,8 @@ def _mem_scan(mi: FusedMemIndex, alphas: jax.Array, state, L: int,
                 - sr_s[:, 0] - sr_s[:, 1] * fos)
         new_cnt = _count(si.all_p, nrs, nos, nre, noe)
         rc_start_abs = jnp.take(si.all_p, rrs, axis=0) + ros + skip
-        n_rrs, n_ros = _resolve(si.all_p, rc_start_abs)
-        n_rre, n_roe = _resolve(si.all_p, rc_start_abs + new_cnt - 1)
+        n_rrs, n_ros = _resolve_mi(mi, rc_start_abs)
+        n_rre, n_roe = _resolve_mi(mi, rc_start_abs + new_cnt - 1)
 
         frs2 = jnp.where(back_ok, nrs, frs)
         fos2 = jnp.where(back_ok, nos, fos)
@@ -292,8 +317,8 @@ def _extend_bidir(mi: FusedMemIndex, srs, sos, sre, soe,
             - sr_s[:, 0] - sr_s[:, 1] * sos)
     new_cnt = _count(si.all_p, nrs, nos, nre, noe)
     o_start_abs = jnp.take(si.all_p, ors, axis=0) + oos + skip
-    n_ors, n_oos = _resolve(si.all_p, o_start_abs)
-    n_ore, n_ooe = _resolve(si.all_p, o_start_abs + new_cnt - 1)
+    n_ors, n_oos = _resolve_mi(mi, o_start_abs)
+    n_ore, n_ooe = _resolve_mi(mi, o_start_abs + new_cnt - 1)
     return ok, nrs, nos, nre, noe, n_ors, n_oos, n_ore, n_ooe
 
 
@@ -422,6 +447,73 @@ def _all_mem_scan(mi: FusedMemIndex, alphas: jax.Array, ticks: int, state):
     return state, jnp.all(state["phase"] == AM_DONE)
 
 
+
+# ---------------------------------------------------------------------------
+# Lane compaction for the resumable tick machines: a lockstep scan pays
+# the WORST lane's tick count (stragglers with many short windows need
+# ~10x the typical lane's ticks).  After each tick quantum, retired
+# lanes' emissions fold into the full-size output and the scan resumes
+# on a power-of-two bucket of survivors, so the straggler tail costs
+# its own bucket, not the whole batch.
+
+_MIN_BUCKET = 512
+
+
+def _fold_emissions(state, cur_idx, fulls, emit_keys):
+    idx_d = jnp.asarray(cur_idx)
+    return tuple(full.at[idx_d].add(state[k])
+                 for full, k in zip(fulls, emit_keys))
+
+
+def _compact_state(state, al_full, cur_idx, alive, pad_to, done_phase,
+                   emit_keys):
+    """Rebuild the scan state on the `alive` bucket positions, padded
+    with duplicate (phase-DONE, zero-emission) lanes to pad_to."""
+    n = len(alive)
+    sel = np.concatenate([alive, np.zeros(pad_to - n, np.int64)])
+    sel_d = jnp.asarray(sel)
+    new_state = {}
+    for k, v in state.items():
+        if k in emit_keys:
+            new_state[k] = jnp.zeros((pad_to,) + v.shape[1:], v.dtype)
+        else:
+            new_state[k] = jnp.take(v, sel_d, axis=0)
+    live = jnp.asarray(np.arange(pad_to) < n)
+    new_state["phase"] = jnp.where(live, new_state["phase"], done_phase)
+    new_idx = cur_idx[sel]
+    return new_state, jnp.take(al_full, jnp.asarray(new_idx), axis=0), new_idx
+
+
+def _resume_compacted(scan_step, state, al_full, lanes, W, done_phase,
+                      max_iters, emit_keys=("ends", "counts")):
+    """Run scan_step(al, state) quanta to convergence with compaction.
+    Returns the emission buffers as [lanes, W] numpy arrays, in
+    emit_keys order."""
+    fulls = tuple(jnp.zeros((lanes,) + state[k].shape[1:], state[k].dtype)
+                  for k in emit_keys)
+    cur_idx = np.arange(lanes)
+    al_cur = al_full
+    done = False
+    for _ in range(max_iters):
+        state, d = scan_step(al_cur, state)
+        if bool(d):
+            done = True
+            break
+        phase = np.asarray(state["phase"])
+        alive = np.flatnonzero(phase != done_phase)
+        bucket = len(phase)
+        target = max(_MIN_BUCKET,
+                     1 << int(np.ceil(np.log2(max(len(alive), 1)))))
+        if target <= bucket // 2:
+            fulls = _fold_emissions(state, cur_idx, fulls, emit_keys)
+            state, al_cur, cur_idx = _compact_state(
+                state, al_full, cur_idx, alive, target, done_phase,
+                emit_keys)
+    assert done, "MEM scan did not converge"
+    fulls = _fold_emissions(state, cur_idx, fulls, emit_keys)
+    return tuple(np.asarray(f) for f in fulls)
+
+
 class FusedAllMemEngine:
     """Batched device all-MEMs (min_mem_length <= 1).  Results identical
     to AdvancedEngine.query_all_mems with ftab_k=0."""
@@ -434,14 +526,11 @@ class FusedAllMemEngine:
         si = self.mi.si
         sigma = si.sigma
         W, lanes = batch.width, batch.lanes
-        alphas = np.full((lanes, W), -2, dtype=np.int32)
         amap = si.alphamap_query.copy()
         amap[ord("#")] = -3
-        for i in range(lanes):
-            Li = int(batch.lengths[i])
-            alphas[i, :Li] = amap[
-                np.frombuffer(batch.seqs[i, W - Li:].tobytes(), np.uint8)]
-        al = jnp.asarray(alphas)
+        from ..io.fastx import left_aligned_slots
+
+        al = jnp.asarray(left_aligned_slots(batch, amap))
         lengths = jnp.asarray(batch.lengths.astype(np.int32))
         z = jnp.zeros((lanes,), jnp.int32)
         # entry = init_bidirectional at s=0 with ml=1, phase RIGHT
@@ -473,15 +562,9 @@ class FusedAllMemEngine:
 
         state = _jax.jit(make_state)()
         ticks = 4 * W + 64
-        done = False
-        for _ in range(W):
-            state, d = _all_mem_scan(self.mi, al, ticks, state)
-            if bool(d):
-                done = True
-                break
-        assert done, "all-MEM scan did not converge"
-        ends = np.asarray(state["ends"])
-        counts = np.asarray(state["counts"])
+        ends, counts = _resume_compacted(
+            lambda a, st: _all_mem_scan(self.mi, a, ticks, st),
+            state, al, lanes, W, AM_DONE, max_iters=W)
         res = []
         for i in range(lanes):
             nz = np.flatnonzero(ends[i])
@@ -502,26 +585,17 @@ class FusedMemEngine:
     def query_batch(self, batch: ReadBatch
                     ) -> List[List[Tuple[int, int, int]]]:
         W, lanes = batch.width, batch.lanes
-        alphas = np.full((lanes, W), -2, dtype=np.int32)
         amap = self.mi.si.alphamap_query.copy()
         amap[ord("#")] = -3  # '#' complements to itself (never matches)
-        for i in range(lanes):
-            Li = int(batch.lengths[i])
-            alphas[i, :Li] = amap[
-                np.frombuffer(batch.seqs[i, W - Li:].tobytes(), np.uint8)]
-        al = jnp.asarray(alphas)
+        from ..io.fastx import left_aligned_slots
+
+        al = jnp.asarray(left_aligned_slots(batch, amap))
         state = make_mem_state(
             lanes, W, jnp.asarray(batch.lengths.astype(np.int32)), self.L)
         ticks = 4 * W + 64
-        done = False
-        for _ in range(W):
-            state, d = _mem_scan(self.mi, al, state, self.L, ticks)
-            if bool(d):
-                done = True
-                break
-        assert done, "MEM scan did not converge"
-        ends = np.asarray(state["ends"])
-        counts = np.asarray(state["counts"])
+        ends, counts = _resume_compacted(
+            lambda a, st: _mem_scan(self.mi, a, st, self.L, ticks),
+            state, al, lanes, W, DONE, max_iters=W)
         res = []
         for i in range(lanes):
             nz = np.flatnonzero(ends[i])

@@ -221,3 +221,23 @@ def make_batches(reads: List[Tuple[str, bytes]], lanes: int,
             lengths[i] = len(b)
             names.append(name)
         yield ReadBatch(names=names, seqs=seqs, lengths=lengths)
+
+
+def left_aligned_slots(batch: ReadBatch, amap, fill: int = -2):
+    """Vectorized [lanes, W] alphabet slots in READ order (left-aligned)
+    from a right-aligned batch: one fancy-indexed gather instead of a
+    32k-iteration Python loop (the loop cost seconds per batch at full
+    lane counts).  Positions past a read's length hold `fill`."""
+    import numpy as np
+
+    W = batch.width
+    lanes = batch.lanes
+    mapped = amap[batch.seqs]                      # [lanes, W]
+    shift = (W - batch.lengths.astype(np.int64))[:, None]
+    idx = np.arange(W, dtype=np.int64)[None, :] + shift
+    valid = idx < W
+    out = np.where(
+        valid,
+        mapped[np.arange(lanes)[:, None], np.minimum(idx, W - 1)],
+        fill)
+    return out.astype(np.int32)

@@ -89,3 +89,29 @@ def test_fused_kmer_counts_match_oracle():
                 got[nm] = r
         for nm, seq in reads:
             assert got[nm] == adv.count_kmers_bidirectional(seq, k), (nm, k)
+
+
+def test_kmer_lane_compaction_matches_scalar(setup, monkeypatch):
+    """Lane compaction in the membership machine (retired lanes fold
+    out between tick quanta, fused_mem._resume_compacted) is
+    output-invariant under a tiny bucket floor."""
+    from movi_tpu.engine import fused_mem
+
+    monkeypatch.setattr(fused_mem, "_MIN_BUCKET", 4)
+    text, sc, si = setup
+    rng = np.random.default_rng(321)
+    k = 11
+    reads = []
+    for i in range(32):
+        L = int(rng.integers(k + 1, 90))
+        s = int(rng.integers(0, len(text) - L))
+        seq = bytearray(text[s : s + L].tobytes())
+        err = 0 if i % 2 == 0 else int(L // 4)  # stragglers vs clean
+        for _ in range(err):
+            seq[int(rng.integers(0, L))] = int(
+                rng.choice(np.frombuffer(b"ACGTN", np.uint8)))
+        reads.append((f"r{i}", bytes(seq)))
+    batch = next(make_batches(reads, lanes=len(reads)))
+    got = FusedKmerEngine(si, k).query_batch(batch)
+    for i, (name, seq) in enumerate(reads):
+        assert got[i] == sc.query_all_kmers(seq, k), name

@@ -87,3 +87,30 @@ def test_fused_all_mems_match_oracle(setup):
             got[nm] = r
     for name, seq in reads:
         assert got[name] == adv.query_all_mems(seq), name
+
+
+def test_mem_lane_compaction_matches_oracle(setup, monkeypatch):
+    """Lane compaction (retired lanes fold out between tick quanta so
+    the straggler tail runs on a small bucket) is output-invariant: with
+    a tiny bucket floor forcing multiple compactions, the results still
+    match the oracle exactly."""
+    from movi_tpu.engine import fused_mem
+    from movi_tpu.engine.fused_mem import FusedAllMemEngine
+
+    rng, bases, fw, ix, adv, mi = setup
+    monkeypatch.setattr(fused_mem, "_MIN_BUCKET", 4)
+    # mixed difficulty: clean reads retire fast, high-error reads
+    # straggle -> several compaction rounds
+    reads = (_reads(rng, bases, fw, 20, err=0.0, prefix="c")
+             + _reads(rng, bases, fw, 20, err=0.25, prefix="e"))
+    batch = next(make_batches(reads, lanes=len(reads)))
+    L = 12
+    eng = FusedMemEngine(mi, L)
+    got = eng.query_batch(batch)
+    for (name, seq), mems in zip(reads, got):
+        assert mems == adv.query_mems(seq, L), name
+
+    alle = FusedAllMemEngine(mi)
+    got = alle.query_batch(batch)
+    for (name, seq), mems in zip(reads, got):
+        assert mems == adv.query_all_mems(seq), name

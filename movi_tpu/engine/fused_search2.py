@@ -518,24 +518,12 @@ class Fused2KmerCountEngine:
         self.k = k
 
     def query_batch(self, batch: ReadBatch) -> List[Tuple[int, int]]:
+        from .fused_kmer import batch_kmer_windows
+
         k = self.k
-        amap = self.s2.alphamap_query
-        windows = []
-        owners = []
-        for i in range(batch.lanes):
-            L = int(batch.lengths[i])
-            if L < k:
-                continue
-            seq = np.frombuffer(
-                batch.seqs[i, batch.width - L:].tobytes(), np.uint8)
-            a = amap[seq].astype(np.int32)
-            w = np.lib.stride_tricks.sliding_window_view(a, k)
-            windows.append(w)
-            owners.append(np.full(len(w), i, dtype=np.int64))
-        if not windows:
+        al, own = batch_kmer_windows(batch, self.s2.alphamap_query, k)
+        if al is None:
             return [(0, 0)] * batch.lanes
-        al = np.concatenate(windows).T
-        own = np.concatenate(owners)
         found, cnt = fused2_kmer_count_scan(self.s2, jnp.asarray(al), k)
         found = np.asarray(found)
         cnt = np.asarray(cnt)

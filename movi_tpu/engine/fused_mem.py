@@ -54,19 +54,19 @@ class FusedMemIndex:
     # u = per-row weight (comp(char(run)) < t, or the '$' run)
     skip_rec: jax.Array   # int32 [sigma*r, 2]
     all_p64: jax.Array    # int32 [r+1] for searchsorted reposition
-    # pos2run[abs] = run containing BWT row abs: turns the per-tick
-    # rc-interval reposition from a ~log2(r)-round dependent-gather
-    # binary search (jnp.searchsorted) into TWO gathered rows.  4 B per
-    # BWT position; built when n <= POS2RUN_MAX_N, else None (the
-    # searchsorted fallback).
-    pos2run: jax.Array | None = None
+    # pos2rba[abs] = (run containing BWT row abs, all_p[run]): turns
+    # the per-tick rc-interval reposition from a ~log2(r)-round
+    # dependent-gather binary search (jnp.searchsorted) into ONE
+    # gathered 8 B row.  8 B per BWT position; built when
+    # n <= POS2RUN_MAX_N, else None (the searchsorted fallback).
+    pos2rba: jax.Array | None = None
 
 
 jax.tree_util.register_dataclass(
-    FusedMemIndex, data_fields=["si", "skip_rec", "all_p64", "pos2run"],
+    FusedMemIndex, data_fields=["si", "skip_rec", "all_p64", "pos2rba"],
     meta_fields=[])
 
-POS2RUN_MAX_N = 1 << 28   # 1 GB of pos2run; past this, searchsorted
+POS2RUN_MAX_N = 1 << 27   # 1 GB of pos2rba; past this, searchsorted
 
 
 def build_fused_mem_index(ix: MoveIndex) -> FusedMemIndex:
@@ -89,14 +89,17 @@ def build_fused_mem_index(ix: MoveIndex) -> FusedMemIndex:
         skip[t, :, 0] = P
         skip[t, :, 1] = u
     n = int(ix.all_p[-1])
-    pos2run = None
+    pos2rba = None
     if n <= POS2RUN_MAX_N:
-        pos2run = jnp.asarray(np.repeat(
-            np.arange(r, dtype=np.int32), ix.n_arr.astype(np.int64)))
+        runs = np.repeat(np.arange(r, dtype=np.int32),
+                         ix.n_arr.astype(np.int64))
+        pos2rba = jnp.asarray(np.stack(
+            [runs, np.asarray(ix.all_p[:-1], dtype=np.int64)[runs]
+             .astype(np.int32)], axis=1))
     return FusedMemIndex(
         si=si,
         skip_rec=jnp.asarray(skip.reshape(sigma * r, 2).astype(np.int32)),
-        all_p64=si.all_p, pos2run=pos2run)
+        all_p64=si.all_p, pos2rba=pos2rba)
 
 
 def _resolve(all_p, abs_pos):
@@ -107,14 +110,14 @@ def _resolve(all_p, abs_pos):
 
 
 def _resolve_mi(mi: "FusedMemIndex", abs_pos):
-    """Tick-machine reposition: one pos2run row + one all_p row when
+    """Tick-machine reposition: ONE gathered (run, all_p[run]) row when
     the direct table exists (inactive lanes carry garbage positions --
     clip for the gather; their results are never selected), else the
     searchsorted fallback."""
-    if mi.pos2run is not None:
-        n = mi.pos2run.shape[0]
-        run = jnp.take(mi.pos2run, jnp.clip(abs_pos, 0, n - 1), axis=0)
-        return run, abs_pos - jnp.take(mi.si.all_p, run, axis=0)
+    if mi.pos2rba is not None:
+        n = mi.pos2rba.shape[0]
+        row = jnp.take(mi.pos2rba, jnp.clip(abs_pos, 0, n - 1), axis=0)
+        return row[:, 0], abs_pos - row[:, 1]
     return _resolve(mi.si.all_p, abs_pos)
 
 

@@ -128,17 +128,16 @@ def format_report_header(max_value_thr: int) -> str:
 
 
 def _cpp_precision3(x: float) -> str:
-    """Mimic C++ ostream out.precision(3) default-float formatting."""
-    if x == 0:
-        return "0"
-    from decimal import Decimal
-    s = f"{x:.3g}"
-    # C++ prints e.g. 1e+03 style for large; match %.3g closely enough
-    if "e" in s:
-        mant, ex = s.split("e")
-        ei = int(ex)
-        s = f"{mant}e+{ei:02d}" if ei >= 0 else f"{mant}e-{-ei:02d}"
-    return s
+    """C++ `ostream << double` after `precision(3)` (defaultfloat).
+
+    [ostream.inserters.arithmetic] defines this as printf %.3g, and
+    CPython's ``.3g`` implements the same C99 %g rules (fixed vs
+    scientific switch at exponent < -4 or >= 3, trailing-zero trim,
+    2-digit signed exponent), so the two are byte-identical.  Verified
+    against g++ ostream output for the boundary values 999.4/999.5/
+    1000, 0.0001/0.00009999, 1e-7, 1e6, 0 (tests/test_classify.py).
+    """
+    return f"{x:.3g}"
 
 
 def format_report_line(read_name: str, found: bool, avg: float,

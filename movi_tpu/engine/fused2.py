@@ -248,6 +248,7 @@ def compose_records(records1, r: int, slots: int, p_dollar, cids=None,
     once and fill it chunk-by-chunk with buffer donation (in-place).
     The last chunk re-composes a few overlapping runs rather than
     recompiling for a ragged tail."""
+    assert chunk_runs >= 0, f"chunk_runs must be >= 0, got {chunk_runs}"
     ch = min(r, chunk_runs or COMPOSE_CHUNK)
     nw = 4 if cids is None else 8
     out = jnp.zeros((r * slots * slots, nw), jnp.int32)

@@ -219,7 +219,7 @@ class FusedKmerEngine:
         (out_all,) = _resume_compacted(
             lambda a, st: _kmer_scan(self.si, a, st, self.k, ticks),
             state, al, lanes, W, done_phase=2, max_iters=self.k + 4,
-            emit_keys=("out",))
+            emit_keys=("out",), label="kmer")
         res = []
         for i in range(lanes):
             nz = np.flatnonzero(out_all[i])

@@ -69,6 +69,17 @@ jax.tree_util.register_dataclass(
 POS2RUN_MAX_N = 1 << 27   # 1 GB of pos2rba; past this, searchsorted
 
 
+@partial(jax.jit, static_argnames=("r", "n"))
+def _pos2rba_device(n_arr, all_p, r: int, n: int):
+    """Build pos2rba ON DEVICE from the tiny (n_arr, all_p) inputs: the
+    table is 8 B per BWT position (1 GB at the cap), which would cost
+    ~40 s on the ~25 MB/s host->device link if shipped; the device
+    cumsum/repeat build uploads only 2 * 4 B/run instead."""
+    runs = jnp.repeat(jnp.arange(r, dtype=jnp.int32), n_arr,
+                      total_repeat_length=n)
+    return jnp.stack([runs, jnp.take(all_p, runs, axis=0)], axis=1)
+
+
 def build_fused_mem_index(ix: MoveIndex) -> FusedMemIndex:
     si = build_fused_search_index(ix)
     r, sigma = ix.r, ix.sigma
@@ -91,11 +102,9 @@ def build_fused_mem_index(ix: MoveIndex) -> FusedMemIndex:
     n = int(ix.all_p[-1])
     pos2rba = None
     if n <= POS2RUN_MAX_N:
-        runs = np.repeat(np.arange(r, dtype=np.int32),
-                         ix.n_arr.astype(np.int64))
-        pos2rba = jnp.asarray(np.stack(
-            [runs, np.asarray(ix.all_p[:-1], dtype=np.int64)[runs]
-             .astype(np.int32)], axis=1))
+        pos2rba = _pos2rba_device(
+            jnp.asarray(ix.n_arr.astype(np.int32)), si.all_p[:-1],
+            r=r, n=n)
     return FusedMemIndex(
         si=si,
         skip_rec=jnp.asarray(skip.reshape(sigma * r, 2).astype(np.int32)),
@@ -488,7 +497,8 @@ def _compact_state(state, al_full, cur_idx, alive, pad_to, done_phase,
 
 
 def _resume_compacted(scan_step, state, al_full, lanes, W, done_phase,
-                      max_iters, emit_keys=("ends", "counts")):
+                      max_iters, emit_keys=("ends", "counts"),
+                      label="MEM"):
     """Run scan_step(al, state) quanta to convergence with compaction.
     Returns the emission buffers as [lanes, W] numpy arrays, in
     emit_keys order."""
@@ -512,7 +522,7 @@ def _resume_compacted(scan_step, state, al_full, lanes, W, done_phase,
             state, al_cur, cur_idx = _compact_state(
                 state, al_full, cur_idx, alive, target, done_phase,
                 emit_keys)
-    assert done, "MEM scan did not converge"
+    assert done, f"{label} scan did not converge"
     fulls = _fold_emissions(state, cur_idx, fulls, emit_keys)
     return tuple(np.asarray(f) for f in fulls)
 

@@ -33,8 +33,8 @@ the end's) inverts.  "No matching run at all" folds in via +/-inf
 sentinel destinations.  This drops both next-run ids from the record:
 147 bits, packed in SIX int32 words per (run, a1, a2) per direction:
 
-  w0: A1 (0-23) | u1 (24) | u2_lo (25) | u2_hi (26)
-  w1: A2_lo (0-23)            w2: A2_hi (0-23)
+  w0: A1 (0-24) | u1 (25) | u2_lo (26) | u2_hi (27)
+  w1: A2_lo (0-24)            w2: A2_hi (0-24)
   w3: B1 (0-11) | C1 (12-23)  w4/w5: B2/C2 for the lo/hi branch
 
 The mid-pair interval is load-bearing (the reference reports the
@@ -45,9 +45,10 @@ step from the init interval of a1 -- precomputed into a sigma^2-entry
 VMEM table, NOT a second HBM gather.
 
 Memory: 2 directions * sigma^2 * 24 B per run (768 B/run for DNA); the
-speed layout for count/ZML, memory-capped near r ~ 2e7 on a 16 GB chip
-(the 24-bit A fields allow r < 2^24).  Bit-exact vs ScalarEngine and
-the one-step engines (tests/test_fused_search2.py).
+speed layout for count/ZML.  The 25-bit A fields allow r < 2^25 (the
+same id envelope as the paired PML layout), but 768 B/run caps the
+layout near r ~ 1.7e7 on a 16 GB chip first.  Bit-exact vs
+ScalarEngine and the one-step engines (tests/test_fused_search2.py).
 """
 
 from __future__ import annotations
@@ -66,8 +67,8 @@ from ..index.structure import MoveIndex
 from ..io.fastx import ReadBatch
 
 GUARD = 0xFFF            # C-field value meaning "no fast forward"
-SENT_HI = 0xFFFFFF       # +inf run sentinel (start side, no match)
-MAX_RUNS = 1 << 24       # A fields are 24-bit
+SENT_HI = 0x1FFFFFF      # +inf run sentinel (start side, no match)
+MAX_RUNS = 1 << 25       # A fields are 25-bit (u bits sit at 25-27)
 _AQ_BIAS = 2             # pair packing biases chars {-2,-1,0..} by +2
 
 
@@ -129,8 +130,8 @@ def _compose_search2_chunk(out, id_a, off_a, n_a, nu, nd, c0, r: int,
             for a2 in range(sigma):
                 A2l, B2l, C2l, u2l = fields(tab[a2], up, A1)
                 A2h, B2h, C2h, u2h = fields(tab[a2], up, A1 + 1)
-                words[0].append(A1 | (u1 << 24) | (u2l << 25)
-                                | (u2h << 26))
+                words[0].append(A1 | (u1 << 25) | (u2l << 26)
+                                | (u2h << 27))
                 words[1].append(A2l)
                 words[2].append(A2h)
                 words[3].append(B1 | (C1 << 12))
@@ -164,6 +165,7 @@ def compose_search2(id_a, off_a, n_a, nu, nd, r: int, sigma: int,
     compose_records): allocate once, fill chunk-by-chunk with buffer
     donation; the last chunk re-composes overlapping runs rather than
     recompiling for a ragged tail."""
+    assert chunk_runs >= 0, f"chunk_runs must be >= 0, got {chunk_runs}"
     ch = min(r, chunk_runs or COMPOSE_CHUNK)
     out = jnp.zeros((2 * r * sigma * sigma, 6), jnp.int32)
     for c0 in list(range(0, r - ch, ch)) + [r - ch]:
@@ -213,7 +215,7 @@ def _restart_table(ix: MoveIndex) -> np.ndarray:
 def build_fused_search2_index(ix: MoveIndex) -> FusedSearch2Index:
     r, sigma = ix.r, ix.sigma
     assert r < MAX_RUNS, (
-        f"paired search records hold 24-bit run ids; r={r} exceeds "
+        f"paired search records hold 25-bit run ids; r={r} exceeds "
         f"{MAX_RUNS} (use the one-step fused search engine)")
     assert sigma + _AQ_BIAS <= 8, "pair packing needs sigma <= 6"
     n64 = ix.n_arr.astype(np.int64)
@@ -252,7 +254,7 @@ def build_fused_search2_index(ix: MoveIndex) -> FusedSearch2Index:
         alphamap_query=alphamap_query)
 
 
-_S2_FMT = 1  # on-disk cache format
+_S2_FMT = 2  # on-disk cache format (2: 25-bit A fields)
 
 
 def save_fused_search2_index(s2: FusedSearch2Index, path: str):
@@ -288,15 +290,15 @@ def _decode_dir(rec, off_in):
     """Two composed micro-steps of one direction from a gathered
     [lanes, 6] record.  Returns (mid_run, mid_off, fin_run, fin_off)."""
     w0 = rec[:, 0]
-    A1 = w0 & 0xFFFFFF
-    u1 = (w0 >> 24) & 1
+    A1 = w0 & 0x1FFFFFF
+    u1 = (w0 >> 25) & 1
     w3 = rec[:, 3]
     m_run, m_off, ff1 = _micro(A1, w3 & GUARD, (w3 >> 12) & GUARD, u1,
                                off_in)
     hi = ff1 == 1
-    A2 = jnp.where(hi, rec[:, 2], rec[:, 1]) & 0xFFFFFF
+    A2 = jnp.where(hi, rec[:, 2], rec[:, 1]) & 0x1FFFFFF
     wbc = jnp.where(hi, rec[:, 5], rec[:, 4])
-    u2 = jnp.where(hi, (w0 >> 26) & 1, (w0 >> 25) & 1)
+    u2 = jnp.where(hi, (w0 >> 27) & 1, (w0 >> 26) & 1)
     f_run, f_off, _ = _micro(A2, wbc & GUARD, (wbc >> 12) & GUARD, u2,
                              m_off)
     return m_run, m_off, f_run, f_off

@@ -231,7 +231,10 @@ def run_sharded_query(index_dir: str, read_path: str, num_hosts: int,
         part = f"{prefix}.kmers.part{host_id}"
         with open(part, "w") as f:
             for (name, (fk, total)), (_, seq) in zip(out, reads):
-                f.write(f"{name}\t{fk}/{len(seq) - k + 1}\t{total}\n")
+                # reads shorter than k have zero windows, not a negative
+                # denominator
+                nw = max(len(seq) - k + 1, 0)
+                f.write(f"{name}\t{fk}/{nw}\t{total}\n")
         merged_name = f"{prefix}.kmers.{k}"
         merged_header = b""
     elif qt == "multiclass":

@@ -453,3 +453,402 @@ int movi_fastx_pack(const uint8_t* seqs, const int64_t* offs,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Single-core scalar baselines for the non-PML query types, so bench.py
+// can MEASURE a CPU denominator for every capability instead of only
+// PML.  Each mirrors the reference's algorithm over our SoA move table:
+//   - count:   query_backward_search  (move_structure_search.cpp:340-352)
+//   - zml:     query_zml              (move_structure_query.cpp:690-786)
+//   - kmer membership: query_all_kmers with look-ahead skipping
+//                                      (sequitur.cpp:322-421)
+//   - kmer exact counts: query_kmers_from_bidirectional with the k/2
+//     partial-interval cache           (sequitur.cpp:14-255)
+//   - MEM BML: query_mem_bml          (mem_finder.cpp:29-103)
+// Interval updates use the precomputed next-run tables (the repo's O(1)
+// replacement for the reference's run scan) and the bidirectional skip
+// uses the same per-(threshold, run) prefix tables as the device engine
+// -- both make this a mildly STRONGER baseline than the reference's
+// scan/walk loops, which keeps the measured ratios honest.
+
+namespace scalar_search {
+
+struct Ctx {
+  const int32_t* n;
+  const int32_t* off;
+  const int64_t* id;
+  const int32_t* nd;      // [sigma*r] first run >= i with char a ('$' excl.)
+  const int32_t* nu;      // [sigma*r] last run <= i with char a
+  const int64_t* all_p;   // [r+1]
+  const int64_t* init_tab;  // [sigma*4] (rs, os, re, oe) per char
+  const int64_t* skipP;   // [sigma*r] weighted prefix (bidirectional skip)
+  const uint8_t* skipU;   // [sigma*r] per-row weight
+  int64_t r;
+  int32_t sigma;
+};
+
+struct Iv { int64_t rs, os, re, oe; };
+
+static inline bool empty(const Iv& v) {
+  return !(v.rs < v.re || (v.rs == v.re && v.os <= v.oe));
+}
+
+static inline void lf(const Ctx& c, int64_t& run, int64_t& o) {
+  o += c.off[run];
+  run = c.id[run];
+  while (run < c.r - 1 && o >= c.n[run]) { o -= c.n[run]; run++; }
+}
+
+static inline Iv init_iv(const Ctx& c, int a) {
+  if (a < 0 || a >= c.sigma) return Iv{1, 0, 0, 0};  // canonical empty
+  const int64_t* p = c.init_tab + 4 * a;
+  return Iv{p[0], p[1], p[2], p[3]};
+}
+
+// backward_search_step: next-table interval update + LF both ends.
+// Returns false (iv untouched) when the updated interval is empty.
+static bool bs_step(const Ctx& c, int a, Iv& iv) {
+  if (a < 0 || a >= c.sigma) return false;
+  int64_t d = c.nd[(int64_t)a * c.r + iv.rs];
+  if (d >= c.r || d > iv.re) return false;
+  int64_t os = (d == iv.rs) ? iv.os : 0;
+  int64_t e = c.nu[(int64_t)a * c.r + iv.re];
+  int64_t oe = (e == iv.re) ? iv.oe : (int64_t)c.n[e] - 1;
+  lf(c, d, os);
+  lf(c, e, oe);
+  iv = Iv{d, os, e, oe};
+  return true;
+}
+
+static inline int64_t count(const Ctx& c, const Iv& v) {
+  if (empty(v)) return 0;
+  return c.all_p[v.re] + v.oe - c.all_p[v.rs] - v.os + 1;
+}
+
+static void resolve(const Ctx& c, int64_t abs_pos, int64_t& run,
+                    int64_t& o) {
+  int64_t lo = 0, hi = c.r;  // all_p has r+1 entries
+  while (hi - lo > 1) {
+    int64_t mid = (lo + hi) >> 1;
+    if (c.all_p[mid] <= abs_pos) lo = mid; else hi = mid;
+  }
+  run = lo;
+  o = abs_pos - c.all_p[lo];
+}
+
+// extend_bidirectional (move_structure_search.cpp:66-120): backward-step
+// the `s` interval with char a, advance the `o` interval by the skip
+// count (O(1) via the prefix tables instead of the reference's run walk).
+static bool extend_bidir(const Ctx& c, int a, Iv& s, Iv& o) {
+  if (a < 0 || a >= c.sigma) return false;
+  Iv s2 = s;
+  if (!bs_step(c, a, s2)) return false;
+  int t = c.sigma - 1 - a;
+  const int64_t* P = c.skipP + (int64_t)t * c.r;
+  const uint8_t* U = c.skipU + (int64_t)t * c.r;
+  int64_t skip = P[s.re] + (int64_t)U[s.re] * (s.oe + 1)
+               - P[s.rs] - (int64_t)U[s.rs] * s.os;
+  int64_t cnt = count(c, s2);
+  int64_t abs0 = c.all_p[o.rs] + o.os + skip;
+  resolve(c, abs0, o.rs, o.os);
+  resolve(c, abs0 + cnt - 1, o.re, o.oe);
+  s = s2;
+  return true;
+}
+
+// look_ahead_backward_search (move_structure_search.cpp:354-385), ftab-less.
+static bool look_ahead(const Ctx& c, const int8_t* rd, int64_t pos,
+                       int64_t step, int64_t k) {
+  int64_t pa = pos - step;
+  int64_t pos_saved = pa;
+  Iv iv = init_iv(c, rd[pa]);
+  int64_t max_len = k - step;
+  while (pa > 0 && !empty(iv)) {
+    Iv niv = iv;
+    if (!bs_step(c, rd[pa - 1], niv)) break;
+    iv = niv;
+    pa--;
+    if (pos_saved - pa > max_len) break;
+  }
+  return pos - pa >= k - 1;
+}
+
+// query_kmers_from (sequitur.cpp:257-320), ftab-less: one maximal
+// backward stretch; returns the new pos_on_r, found via out-param.
+static int64_t kmers_from(const Ctx& c, const int8_t* rd, int64_t pos,
+                          int64_t k, int64_t& found) {
+  int64_t pos_saved = pos;
+  Iv iv = init_iv(c, rd[pos]);
+  if (empty(iv)) { found = 0; return pos_saved - 1; }
+  while (pos > 0) {
+    Iv niv = iv;
+    if (!bs_step(c, rd[pos - 1], niv)) break;
+    iv = niv;
+    pos--;
+  }
+  if (pos_saved - pos >= k - 1) {
+    found = pos_saved - pos - k + 2;
+    return pos + k - 2;
+  }
+  found = 0;
+  return pos_saved - 1;
+}
+
+struct Partial { Iv fw; int64_t ml; };
+
+// query_kmers_from_bidirectional (sequitur.cpp:14-255), ftab-less:
+// anchor at the window's left end, extend right caching partial
+// intervals past k/2, left-extend each partial with plain backward
+// steps.  (The reference's skip_kmers short-cut is dead code -- both
+// branches leave it 0 -- so every saved partial is processed.)
+static int64_t kmer_group(const Ctx& c, const int8_t* rd, int64_t& pos,
+                          int64_t k, int64_t& total, Partial* partials) {
+  int64_t pos_saved = pos;
+  int64_t kmer_left = pos - k + 1;
+  int a0 = rd[kmer_left];
+  bool init_ok = a0 >= 0 && a0 < c.sigma;
+  Iv fw = init_iv(c, a0);
+  Iv rc = init_ok ? init_iv(c, c.sigma - 1 - a0) : Iv{1, 0, 0, 0};
+  int64_t match_len = 1;
+  int64_t partial_count = k / 2;
+  int64_t non_ext = k - partial_count;
+  int64_t kmer_middle = pos_saved - partial_count;
+  int64_t saved = 0;
+  int64_t kmer_right = kmer_left;
+  int64_t found = 0;
+  while (kmer_right < pos_saved) {
+    int64_t next_pos = kmer_right + 1;
+    int cc = rd[next_pos];
+    bool ok = init_ok && cc >= 0 && cc < c.sigma
+              && extend_bidir(c, c.sigma - 1 - cc, rc, fw);  // extend_right
+    if (!ok) { pos = kmer_right; break; }
+    match_len++;
+    kmer_right = next_pos;
+    pos = kmer_right;
+    if (kmer_right > kmer_middle && kmer_right != pos_saved) {
+      partials[match_len - non_ext - 1] = Partial{fw, match_len};
+      saved++;
+    }
+  }
+  if (kmer_right == pos_saved) {
+    found++;
+    total += count(c, fw);
+    kmer_right--;
+    pos = kmer_right;
+  }
+  if (kmer_right > kmer_middle) {
+    for (int64_t i = 0; i < saved; i++) {
+      Iv f = partials[i].fw;
+      int64_t ml = partials[i].ml;
+      int64_t kle = kmer_left;
+      while (ml < k && kle > 0) {
+        if (!bs_step(c, rd[kle - 1], f)) break;
+        kle--;
+        ml++;
+      }
+      if (ml == k) { found++; total += count(c, f); }
+    }
+    pos = kmer_middle;
+  }
+  return found;
+}
+
+}  // namespace scalar_search
+
+extern "C" {
+
+using scalar_search::Ctx;
+using scalar_search::Iv;
+
+// Count queries; returns sum over reads of (matched + count).
+int64_t movi_scalar_count(const int32_t* n, const int32_t* off,
+                          const int64_t* id, const int32_t* nd,
+                          const int32_t* nu, const int64_t* all_p,
+                          const int64_t* init_tab, int64_t r,
+                          int32_t sigma, const int8_t* reads,
+                          int64_t num_reads, int64_t read_len) {
+  Ctx c{n, off, id, nd, nu, all_p, init_tab, nullptr, nullptr, r, sigma};
+  int64_t checksum = 0;
+  for (int64_t q = 0; q < num_reads; q++) {
+    const int8_t* rd = reads + q * read_len;
+    int64_t pos = read_len - 1;
+    int a = rd[pos];
+    if (a < 0 || a >= sigma) continue;
+    Iv iv = scalar_search::init_iv(c, a);
+    int64_t matched = 1;
+    while (pos > 0) {
+      if (!scalar_search::bs_step(c, rd[pos - 1], iv)) break;
+      pos--;
+      matched++;
+    }
+    checksum += matched + scalar_search::count(c, iv);
+  }
+  return checksum;
+}
+
+// ZML; returns the sum of all emitted matching lengths.
+int64_t movi_scalar_zml(const int32_t* n, const int32_t* off,
+                        const int64_t* id, const int32_t* nd,
+                        const int32_t* nu, const int64_t* all_p,
+                        const int64_t* init_tab, int64_t r, int32_t sigma,
+                        const int8_t* reads, int64_t num_reads,
+                        int64_t read_len) {
+  Ctx c{n, off, id, nd, nu, all_p, init_tab, nullptr, nullptr, r, sigma};
+  int64_t checksum = 0;
+  for (int64_t q = 0; q < num_reads; q++) {
+    const int8_t* rd = reads + q * read_len;
+    int64_t pos = read_len - 1;
+    while (pos >= 0 && (rd[pos] < 0 || rd[pos] >= sigma)) pos--;
+    if (pos < 0) continue;
+    Iv iv = scalar_search::init_iv(c, rd[pos]);
+    int64_t ml = 0;
+    while (pos > 0) {
+      Iv niv = iv;
+      if (scalar_search::bs_step(c, rd[pos - 1], niv)) {
+        checksum += ml;
+        pos--;
+        ml++;
+        iv = niv;
+      } else {
+        checksum += ml;
+        pos--;
+        ml = 0;
+        while (pos > 0 && (rd[pos] < 0 || rd[pos] >= sigma)) pos--;
+        iv = scalar_search::init_iv(c, rd[pos]);
+      }
+    }
+    if (scalar_search::empty(iv)) ml = 0;
+    checksum += ml;
+  }
+  return checksum;
+}
+
+// K-mer membership with look-ahead skipping; returns total found kmers.
+int64_t movi_scalar_kmer_membership(
+    const int32_t* n, const int32_t* off, const int64_t* id,
+    const int32_t* nd, const int32_t* nu, const int64_t* all_p,
+    const int64_t* init_tab, int64_t r, int32_t sigma,
+    const int8_t* reads, int64_t num_reads, int64_t read_len,
+    int64_t k) {
+  Ctx c{n, off, id, nd, nu, all_p, init_tab, nullptr, nullptr, r, sigma};
+  int64_t found_total = 0;
+  int64_t step = k / 3;
+  for (int64_t q = 0; q < num_reads; q++) {
+    const int8_t* rd = reads + q * read_len;
+    int64_t pos = read_len - 1;
+    while (pos >= 0 && (rd[pos] < 0 || rd[pos] >= sigma)) pos--;
+    while (pos >= k - 1) {
+      if (pos >= k - 1 + step
+          && !scalar_search::look_ahead(c, rd, pos, step, k)) {
+        pos = pos - step - 1;
+      } else {
+        int64_t found = 0;
+        pos = scalar_search::kmers_from(c, rd, pos, k, found);
+        found_total += found;
+      }
+      while (pos >= 0 && (rd[pos] < 0 || rd[pos] >= sigma)) pos--;
+    }
+  }
+  return found_total;
+}
+
+// Exact k-mer counts via the bidirectional k/2 cache + look-ahead;
+// returns found kmers, writes the summed interval counts to out_total.
+// Requires an rc-complete index (prepare_ref default).
+int64_t movi_scalar_kmer_count(
+    const int32_t* n, const int32_t* off, const int64_t* id,
+    const int32_t* nd, const int32_t* nu, const int64_t* all_p,
+    const int64_t* init_tab, const int64_t* skipP, const uint8_t* skipU,
+    int64_t r, int32_t sigma, const int8_t* reads, int64_t num_reads,
+    int64_t read_len, int64_t k, int64_t* out_total) {
+  Ctx c{n, off, id, nd, nu, all_p, init_tab, skipP, skipU, r, sigma};
+  int64_t found_total = 0, counts_total = 0;
+  int64_t step = k / 3;
+  std::vector<scalar_search::Partial> partials((size_t)(k / 2 + 1));
+  for (int64_t q = 0; q < num_reads; q++) {
+    const int8_t* rd = reads + q * read_len;
+    int64_t pos = read_len - 1;
+    while (pos >= 0 && (rd[pos] < 0 || rd[pos] >= sigma)) pos--;
+    while (pos >= k - 1) {
+      if (pos >= k - 1 + step
+          && !scalar_search::look_ahead(c, rd, pos, step, k)) {
+        pos = pos - step - 1;
+      } else {
+        found_total += scalar_search::kmer_group(c, rd, pos, k,
+                                                 counts_total,
+                                                 partials.data());
+      }
+      while (pos >= 0 && (rd[pos] < 0 || rd[pos] >= sigma)) pos--;
+    }
+  }
+  *out_total = counts_total;
+  return found_total;
+}
+
+// MEM finding (BML); returns sum over MEMs of (start*3 + end*5 +
+// count*7), writes the MEM count to out_nmems.  Requires an
+// rc-complete index.
+int64_t movi_scalar_mem_bml(
+    const int32_t* n, const int32_t* off, const int64_t* id,
+    const int32_t* nd, const int32_t* nu, const int64_t* all_p,
+    const int64_t* init_tab, const int64_t* skipP, const uint8_t* skipU,
+    int64_t r, int32_t sigma, const int8_t* reads, int64_t num_reads,
+    int64_t read_len, int64_t L, int64_t* out_nmems) {
+  Ctx c{n, off, id, nd, nu, all_p, init_tab, skipP, skipU, r, sigma};
+  int64_t checksum = 0, nmems = 0;
+  for (int64_t q = 0; q < num_reads; q++) {
+    const int8_t* rd = reads + q * read_len;
+    int64_t m = read_len;
+    int64_t pos = 0;
+    while (pos < m) {
+      if (pos + L > m) { pos = m; break; }
+      int64_t init_pos = pos + L - 1;
+      int a0 = rd[init_pos];
+      bool legal0 = a0 >= 0 && a0 < sigma;
+      Iv fw = scalar_search::init_iv(c, a0);
+      Iv rc = legal0 ? scalar_search::init_iv(c, sigma - 1 - a0)
+                     : Iv{1, 0, 0, 0};
+      init_pos--;
+      // backward extension over the rest of the length-L window
+      bool failed = false;
+      for (int64_t j = 0; j <= init_pos - pos; j++) {
+        int cc = rd[init_pos - j];
+        if (!(legal0 && scalar_search::extend_bidir(c, cc, fw, rc))) {
+          pos = init_pos - j + 1;
+          failed = true;
+          break;
+        }
+      }
+      if (failed) continue;
+      // forward extension to maximality (plain rc steps of comp(char))
+      int64_t i = pos + L;
+      for (; i < m; i++) {
+        int cc = rd[i];
+        int a = (cc >= 0 && cc < sigma) ? (sigma - 1 - cc) : 0;
+        Iv rc2 = rc;
+        if (!scalar_search::bs_step(c, a, rc2)) break;
+        rc = rc2;
+      }
+      checksum += pos * 3 + i * 5 + scalar_search::count(c, rc) * 7;
+      nmems++;
+      int64_t end_pos = i;
+      if (end_pos >= m) { pos = m; break; }
+      // backward scan from the MEM end to the next candidate left end
+      int64_t ip = end_pos;
+      Iv f2 = scalar_search::init_iv(c, rd[ip]);
+      ip--;
+      int64_t i2 = 0;
+      while (i2 <= ip - (pos + 1)) {
+        Iv nf = f2;
+        if (!scalar_search::bs_step(c, rd[ip - i2], nf)) break;
+        f2 = nf;
+        i2++;
+      }
+      pos = ip - i2 + 1;
+    }
+  }
+  *out_nmems = nmems;
+  return checksum;
+}
+
+}  // extern "C"

@@ -201,35 +201,6 @@ def tpu_rate_search(s2, reads, reps, kind):
     return lanes * read_len / dt
 
 
-def tpu_rate_kmer(s2, reps, k=31, nk=32768):
-    """Timed exact k-mer counts (kmers/sec): k-1 backward extensions as
-    composed pairs on the paired search records (one lane per k-mer,
-    engine/fused_search2.py fused2_kmer_count_scan)."""
-    import jax
-    import jax.numpy as jnp
-
-    from movi_tpu.engine.fused_search2 import fused2_kmer_count_scan
-
-    rng = np.random.default_rng(5)
-    al = jnp.asarray(rng.integers(0, s2.sigma,
-                                  size=(k, nk)).astype(np.int32))
-
-    @jax.jit
-    def run_reps(s2x, al):
-        def onebatch(i, acc):
-            al2 = al.at[0].set((al[0] + i) % s2x.sigma)
-            f, c = fused2_kmer_count_scan(s2x, al2, k)
-            return (acc + f.astype(jnp.int64).sum()
-                    + c.astype(jnp.int64).sum())
-        return jax.lax.fori_loop(0, reps, onebatch, jnp.int64(0))
-
-    _ = np.asarray(run_reps(s2, al))  # compile + warm
-    t0 = time.time()
-    _ = int(np.asarray(run_reps(s2, al)))
-    dt = (time.time() - t0) / reps
-    return nk / dt
-
-
 def tpu_rate_color_paired(f2c, reads, reps):
     """Timed paired Movi Color throughput: PML + per-base color ids at
     one 32 B gather per TWO bases (engine/fused2.py color records)."""
@@ -413,6 +384,193 @@ def measure_native_baseline(fi, base, reads):
     return n_reads * READ_LEN / dt
 
 
+_COMP_TAB = np.zeros(256, np.uint8)
+for _a, _b in ((b"A", b"T"), (b"C", b"G"), (b"G", b"C"), (b"T", b"A")):
+    _COMP_TAB[_a[0]] = _b[0]
+
+
+def revcomp(text: np.ndarray) -> np.ndarray:
+    return _COMP_TAB[text[::-1]]
+
+
+HBM_RC_HALF = int(os.environ.get("BENCH_RC_HALF", HBM_TEXT // 2))
+KMER_K = int(os.environ.get("BENCH_KMER_K", 31))
+MEM_L = int(os.environ.get("BENCH_MEM_L", 20))
+MEM_LANES = int(os.environ.get("BENCH_MEM_LANES", 8192))
+
+
+def load_large_rc_index():
+    """rc-complete HBM-scale MoveIndex (cached): the bidirectional
+    engines (MEM, exact k-mer counts) require the reverse complement in
+    the index (prepare_ref default; mem_finder.cpp:6)."""
+    from movi_tpu.index.structure import MoveIndex, build_move_index
+
+    os.makedirs(CACHE_DIR, exist_ok=True)
+    path = os.path.join(CACHE_DIR, f"hbm_rc_{HBM_RC_HALF}.index.npz")
+    rng = np.random.default_rng(1)
+    half = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8),
+                      size=HBM_RC_HALF)
+    if os.path.exists(path):
+        try:
+            return MoveIndex.load(path), half
+        except Exception:
+            pass
+    from movi_tpu.build.suffix import build_bwt_runs
+
+    text = np.concatenate([half, revcomp(half)])
+    ix = build_move_index(build_bwt_runs(text), "regular-thresholds",
+                          bound_ff=1)
+    ix.save(path)
+    return ix, half
+
+
+def make_mixed_reads(text, lanes, read_len, seed):
+    """Half drawn-from-reference, half random: the contamination-
+    screening workload for the k-mer engines (half the windows are
+    found, half are not)."""
+    rng = np.random.default_rng(seed)
+    found = make_reads(text, lanes // 2, read_len, seed=seed + 1)
+    rand = rng.choice(np.frombuffer(b"ACGT", np.uint8),
+                      size=(lanes - lanes // 2, read_len))
+    reads = np.concatenate([found, rand])
+    return reads[rng.permutation(lanes)]
+
+
+def _to_batch(reads_arr: np.ndarray):
+    from movi_tpu.io.fastx import ReadBatch
+
+    lanes, W = reads_arr.shape
+    return ReadBatch(names=[str(i) for i in range(lanes)],
+                     seqs=np.ascontiguousarray(reads_arr),
+                     lengths=np.full(lanes, W, np.int32))
+
+
+def _time_query_batch(engine, batch):
+    """Wall-time one query_batch call after a compile+warm call."""
+    engine.query_batch(batch)
+    t0 = time.time()
+    engine.query_batch(batch)
+    return time.time() - t0
+
+
+def measure_native_search_baselines(ix, reads, out):
+    """Measured single-core count/ZML rates on the same (non-rc) index
+    and reads as the device count/ZML sections."""
+    from movi_tpu.cpu_ref.native_search import (
+        NativeSearchCtx, native_count_checksum, native_search_available,
+        native_zml_checksum, reads_to_slots)
+
+    if not native_search_available():
+        return None
+    n1 = min(len(reads), 20000)
+    slots = reads_to_slots(ix, reads[:n1])
+    ctx = NativeSearchCtx(ix)
+    bases = slots.size
+    t0 = time.time()
+    native_count_checksum(ctx, slots)
+    out["baseline_measured_count_bases_per_sec"] = round(
+        bases / (time.time() - t0), 1)
+    t0 = time.time()
+    native_zml_checksum(ctx, slots)
+    out["baseline_measured_zml_bases_per_sec"] = round(
+        bases / (time.time() - t0), 1)
+    return ctx
+
+
+def measure_native_rc_baselines(ix_rc, reads_mixed, reads_mem, out):
+    """Measured single-core k-mer membership/count and MEM rates on the
+    rc-complete index (the same workloads as the device engines)."""
+    from movi_tpu.cpu_ref.native_search import (
+        NativeSearchCtx, native_kmer_count, native_kmer_membership,
+        native_mem_bml, native_search_available, reads_to_slots)
+
+    if not native_search_available():
+        return
+    ctx = NativeSearchCtx(ix_rc, with_bidir=True)
+    k = KMER_K
+    nm = min(len(reads_mixed), 20000)
+    slots = reads_to_slots(ix_rc, reads_mixed[:nm])
+    windows = nm * (reads_mixed.shape[1] - k + 1)
+    t0 = time.time()
+    native_kmer_membership(ctx, slots, k)
+    out["baseline_measured_kmer_membership_per_sec"] = round(
+        windows / (time.time() - t0), 1)
+    nc = min(len(reads_mixed), 4000)
+    t0 = time.time()
+    native_kmer_count(ctx, slots[:nc], k)
+    out["baseline_measured_kmer_counts_per_sec"] = round(
+        nc * (reads_mixed.shape[1] - k + 1) / (time.time() - t0), 1)
+    nb = min(len(reads_mem), 2000)
+    slots_m = reads_to_slots(ix_rc, reads_mem[:nb])
+    t0 = time.time()
+    native_mem_bml(ctx, slots_m, MEM_L)
+    out["baseline_measured_mem_bases_per_sec"] = round(
+        slots_m.size / (time.time() - t0), 1)
+
+
+def _ratio(out, num_key, den_key, ratio_key):
+    if num_key in out and den_key in out and out[den_key]:
+        out[ratio_key] = round(out[num_key] / out[den_key], 3)
+
+
+def rc_sections(out):
+    """Device MEM / k-mer membership / k-mer count measurements on the
+    rc-complete HBM index, plus their measured CPU denominators."""
+    import gc
+
+    ix_rc, half = load_large_rc_index()
+    out["rc_index_runs"] = int(ix_rc.r)
+    reads_mixed = make_mixed_reads(half, LANES, READ_LEN, seed=77)
+    reads_mem = make_reads(half, MEM_LANES, READ_LEN, seed=78)
+
+    try:
+        measure_native_rc_baselines(ix_rc, reads_mixed, reads_mem, out)
+    except Exception as e:  # pragma: no cover
+        out["native_rc_baseline_error"] = repr(e)[:200]
+
+    k = KMER_K
+    try:
+        from movi_tpu.engine.fused_kmer import FusedKmerEngine
+        from movi_tpu.engine.fused_mem import (FusedMemEngine,
+                                               build_fused_mem_index)
+
+        mi = build_fused_mem_index(ix_rc)
+        batch_mem = _to_batch(reads_mem)
+        dt = _time_query_batch(FusedMemEngine(mi, MEM_L), batch_mem)
+        out["hbm_mem_bases_per_sec"] = round(reads_mem.size / dt, 1)
+        _ratio(out, "hbm_mem_bases_per_sec",
+               "baseline_measured_mem_bases_per_sec", "vs_baseline_mem")
+
+        batch_kmer = _to_batch(reads_mixed[:MEM_LANES])
+        windows = batch_kmer.lanes * (READ_LEN - k + 1)
+        dt = _time_query_batch(FusedKmerEngine(mi.si, k), batch_kmer)
+        out["hbm_kmer_membership_per_sec"] = round(windows / dt, 1)
+        _ratio(out, "hbm_kmer_membership_per_sec",
+               "baseline_measured_kmer_membership_per_sec",
+               "vs_baseline_kmer_membership")
+        del mi
+        gc.collect()
+    except Exception as e:  # pragma: no cover
+        out["mem_engine_error"] = repr(e)[:200]
+
+    try:
+        from movi_tpu.engine.fused_search2 import (
+            Fused2KmerCountEngine, build_fused_search2_index)
+
+        s2 = build_fused_search2_index(ix_rc)
+        batch_kc = _to_batch(reads_mixed[:MEM_LANES])
+        windows = batch_kc.lanes * (READ_LEN - k + 1)
+        dt = _time_query_batch(Fused2KmerCountEngine(s2, k), batch_kc)
+        out["hbm_kmer_counts_per_sec"] = round(windows / dt, 1)
+        _ratio(out, "hbm_kmer_counts_per_sec",
+               "baseline_measured_kmer_counts_per_sec",
+               "vs_baseline_kmer_counts")
+        del s2
+        gc.collect()
+    except Exception as e:  # pragma: no cover
+        out["kmer_count_engine_error"] = repr(e)[:200]
+
+
 def _enable_compile_cache():
     """Persistent XLA compile cache: first compiles through the TPU relay
     cost 20-160 s; cached reloads are near-instant across runs/rounds."""
@@ -514,6 +672,10 @@ def main():
                 build_fused_search2_index)
 
             ix_hbm = load_large_move_index()
+            try:
+                measure_native_search_baselines(ix_hbm, reads_hbm, out)
+            except Exception as e:  # pragma: no cover
+                out["native_search_baseline_error"] = repr(e)[:200]
             s2 = build_fused_search2_index(ix_hbm)
             del ix_hbm
             out["hbm_count_bases_per_sec"] = round(
@@ -523,12 +685,24 @@ def main():
             out["paired_search_bytes_per_run"] = 2 * 24 * sigma * sigma
             out["count_gather_ceiling_fraction"] = round(
                 out["hbm_count_bases_per_sec"] / CEIL_24B, 3)
-            out["hbm_kmer_counts_per_sec"] = round(
-                tpu_rate_kmer(s2, REPS_HBM), 1)
+            _ratio(out, "hbm_count_bases_per_sec",
+                   "baseline_measured_count_bases_per_sec",
+                   "vs_baseline_count")
+            _ratio(out, "hbm_zml_bases_per_sec",
+                   "baseline_measured_zml_bases_per_sec",
+                   "vs_baseline_zml")
             del s2
             gc.collect()
         except Exception as e:  # pragma: no cover
             out["search_error"] = repr(e)[:200]
+
+    if os.environ.get("BENCH_RC", "1") != "0":
+        # rc-complete index sections: device MEM, k-mer membership, and
+        # exact k-mer counts with their measured CPU denominators
+        try:
+            rc_sections(out)
+        except Exception as e:  # pragma: no cover
+            out["rc_error"] = repr(e)[:200]
 
     fi_small, text_small = build_small()
     reads_small = make_reads(text_small, LANES, READ_LEN, seed=42)

@@ -531,24 +531,28 @@ def rc_sections(out):
     k = KMER_K
     try:
         from movi_tpu.engine.fused_kmer import FusedKmerEngine
-        from movi_tpu.engine.fused_mem import (FusedMemEngine,
-                                               build_fused_mem_index)
+        from movi_tpu.engine.fused_mem2 import (FusedMem2Engine,
+                                                build_fused_mem2_index)
+        from movi_tpu.engine.fused_search import build_fused_search_index
 
-        mi = build_fused_mem_index(ix_rc)
+        m2 = build_fused_mem2_index(ix_rc)
         batch_mem = _to_batch(reads_mem)
-        dt = _time_query_batch(FusedMemEngine(mi, MEM_L), batch_mem)
+        dt = _time_query_batch(FusedMem2Engine(m2, MEM_L), batch_mem)
         out["hbm_mem_bases_per_sec"] = round(reads_mem.size / dt, 1)
         _ratio(out, "hbm_mem_bases_per_sec",
                "baseline_measured_mem_bases_per_sec", "vs_baseline_mem")
+        del m2
+        gc.collect()
 
+        si_rc = build_fused_search_index(ix_rc)
         batch_kmer = _to_batch(reads_mixed[:MEM_LANES])
         windows = batch_kmer.lanes * (READ_LEN - k + 1)
-        dt = _time_query_batch(FusedKmerEngine(mi.si, k), batch_kmer)
+        dt = _time_query_batch(FusedKmerEngine(si_rc, k), batch_kmer)
         out["hbm_kmer_membership_per_sec"] = round(windows / dt, 1)
         _ratio(out, "hbm_kmer_membership_per_sec",
                "baseline_measured_kmer_membership_per_sec",
                "vs_baseline_kmer_membership")
-        del mi
+        del si_rc
         gc.collect()
     except Exception as e:  # pragma: no cover
         out["mem_engine_error"] = repr(e)[:200]

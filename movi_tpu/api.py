@@ -61,6 +61,7 @@ class Index:
         self._fused_search = None
         self._paired_search = None
         self._fused_mem = None
+        self._fused_mem2 = None
         self._bounded = None
 
     # ------------------------------------------------------------- build
@@ -241,15 +242,21 @@ class Index:
         reads = _as_reads(reads)
         if (jax and ftab_k <= 1 and self._is_bounded()
                 and bytes(self.ix.alphabet) == b"ACGT"):
-            from .engine.fused_mem import (FusedAllMemEngine,
-                                           FusedMemEngine,
-                                           build_fused_mem_index)
+            if min_mem_length >= 2:
+                # BML runs on the v2 one-gather-per-tick records
+                from .engine.fused_mem2 import (FusedMem2Engine,
+                                                build_fused_mem2_index)
 
-            if self._fused_mem is None:
-                self._fused_mem = build_fused_mem_index(self.ix)
-            eng = (FusedMemEngine(self._fused_mem, min_mem_length)
-                   if min_mem_length >= 2
-                   else FusedAllMemEngine(self._fused_mem))
+                if self._fused_mem2 is None:
+                    self._fused_mem2 = build_fused_mem2_index(self.ix)
+                eng = FusedMem2Engine(self._fused_mem2, min_mem_length)
+            else:
+                from .engine.fused_mem import (FusedAllMemEngine,
+                                               build_fused_mem_index)
+
+                if self._fused_mem is None:
+                    self._fused_mem = build_fused_mem_index(self.ix)
+                eng = FusedAllMemEngine(self._fused_mem)
             out = []
             for batch in make_batches(reads, lanes=lanes):
                 out.extend(zip(batch.names, eng.query_batch(batch)))

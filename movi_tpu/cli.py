@@ -560,16 +560,23 @@ def cmd_query(args):
 
             if args.platform:
                 _jax.config.update("jax_platforms", args.platform)
-            from .engine.fused_mem import (FusedAllMemEngine,
-                                           FusedMemEngine,
-                                           build_fused_mem_index)
             from .io.fastx import make_batches as _mb
             from .io.outputs import mem_lines
 
-            _log("using the fused MEM engine")
-            mi = build_fused_mem_index(ix)
-            eng = (FusedMemEngine(mi, args.min_mem_length)
-                   if args.min_mem_length >= 2 else FusedAllMemEngine(mi))
+            if args.min_mem_length >= 2:
+                # BML runs on the v2 one-gather-per-tick records
+                from .engine.fused_mem2 import (FusedMem2Engine,
+                                                build_fused_mem2_index)
+
+                _log("using the fused MEM engine (v2)")
+                eng = FusedMem2Engine(build_fused_mem2_index(ix),
+                                      args.min_mem_length)
+            else:
+                from .engine.fused_mem import (FusedAllMemEngine,
+                                               build_fused_mem_index)
+
+                _log("using the fused MEM engine")
+                eng = FusedAllMemEngine(build_fused_mem_index(ix))
             lines = []
             for batch in _mb(reads, lanes=args.lanes):
                 for name, mems in zip(batch.names, eng.query_batch(batch)):

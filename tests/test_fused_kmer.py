@@ -115,3 +115,29 @@ def test_kmer_lane_compaction_matches_scalar(setup, monkeypatch):
     got = FusedKmerEngine(si, k).query_batch(batch)
     for i, (name, seq) in enumerate(reads):
         assert got[i] == sc.query_all_kmers(seq, k), name
+
+
+@pytest.mark.parametrize("k", [9, 15])
+def test_fused_kmer_probe_random_reads(setup, k):
+    """NOT_FOUND-heavy (random) and mixed reads drive the look-ahead
+    probe phase hard; emissions must still equal the oracle's."""
+    text, sc, si = setup
+    rng = np.random.default_rng(500 + k)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    reads = []
+    for i in range(20):
+        L = int(rng.integers(k + 2, 90))
+        if i % 2 == 0:
+            seq = rng.choice(bases, size=L)          # pure random
+        else:
+            s = int(rng.integers(0, len(text) - L))  # half-matchy
+            seq = text[s : s + L].copy()
+            half = L // 2
+            seq[half:] = rng.choice(bases, size=L - half)
+        if i % 5 == 0:
+            seq[int(rng.integers(0, L))] = ord("N")
+        reads.append((f"p{i}", seq.tobytes()))
+    batch = next(make_batches(reads, lanes=len(reads)))
+    got = FusedKmerEngine(si, k).query_batch(batch)
+    for i, (name, seq) in enumerate(reads):
+        assert got[i] == sc.query_all_kmers(seq, k), name

@@ -1,0 +1,88 @@
+"""MEM engine v2 (engine/fused_mem2.py, one gather per tick) vs the CPU
+oracle and the v1 engine."""
+
+import numpy as np
+import pytest
+
+from movi_tpu.build.suffix import build_bwt_runs
+from movi_tpu.cpu_ref.advanced import AdvancedEngine
+from movi_tpu.engine.fused_mem2 import (FusedMem2Engine,
+                                        build_fused_mem2_index)
+from movi_tpu.index.structure import build_move_index
+from movi_tpu.io.fastx import make_batches
+
+COMP = {65: 84, 84: 65, 67: 71, 71: 67}
+
+
+def _rc_text(fw):
+    rc = np.array([COMP[b] for b in fw[::-1]], dtype=np.uint8)
+    return np.concatenate([fw, rc])
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(7)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    fw = rng.choice(bases, size=4000)
+    text = _rc_text(fw)
+    runs = build_bwt_runs(text)
+    ix = build_move_index(runs, "regular-thresholds", bound_ff=1)
+    return rng, bases, fw, ix, AdvancedEngine(ix, ftab_k=0), \
+        build_fused_mem2_index(ix)
+
+
+def _reads(rng, bases, fw, n, err=0.05, with_n=False, prefix="r"):
+    reads = []
+    for i in range(n):
+        L = int(rng.integers(25, 90))
+        s = int(rng.integers(0, len(fw) - L))
+        seq = fw[s : s + L].copy()
+        e = rng.random(L) < err
+        seq = np.where(e, rng.choice(bases, size=L), seq)
+        if with_n:
+            seq[rng.integers(0, L, size=2)] = ord("N")
+        reads.append((f"{prefix}{i}", seq.tobytes()))
+    return reads
+
+
+@pytest.mark.parametrize("L", [2, 5, 12, 20])
+def test_mem2_matches_oracle(setup, L):
+    rng, bases, fw, ix, adv, m2 = setup
+    reads = _reads(rng, bases, fw, 30)
+    eng = FusedMem2Engine(m2, L)
+    got = {}
+    for b in make_batches(reads, lanes=30):
+        for nm, r in zip(b.names, eng.query_batch(b)):
+            got[nm] = r
+    for name, seq in reads:
+        assert got[name] == adv.query_mems(seq, L), name
+
+
+def test_mem2_edge_cases(setup):
+    rng, bases, fw, ix, adv, m2 = setup
+    reads = _reads(rng, bases, fw, 15, with_n=True)
+    reads += [("short", b"ACG"), ("one", b"A"),
+              ("allN", b"N" * 12)]
+    for L in (2, 7):
+        eng = FusedMem2Engine(m2, L)
+        got = {}
+        for b in make_batches(reads, lanes=18):
+            for nm, r in zip(b.names, eng.query_batch(b)):
+                got[nm] = r
+        for name, seq in reads:
+            assert got[name] == adv.query_mems(seq, L), (name, L)
+
+
+def test_mem2_matches_v1(setup):
+    """v2 == v1 on a mixed batch (both are oracle-exact; this pins the
+    two device paths against each other directly)."""
+    from movi_tpu.engine.fused_mem import (FusedMemEngine,
+                                           build_fused_mem_index)
+
+    rng, bases, fw, ix, adv, m2 = setup
+    mi = build_fused_mem_index(ix)
+    reads = _reads(rng, bases, fw, 20, with_n=True, prefix="v")
+    for b in make_batches(reads, lanes=20):
+        got1 = FusedMemEngine(mi, 12).query_batch(b)
+        got2 = FusedMem2Engine(m2, 12).query_batch(b)
+        assert got1 == got2

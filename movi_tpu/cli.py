@@ -235,11 +235,18 @@ def cmd_build(args):
     _log("build done")
 
 
-def _load_index(index_dir, mmap=False):
+def _load_index(index_dir, mmap=False, resplit=True):
     """Load index.npz (native) or a reference-built index.movi, like the
     launcher's header-byte dispatch (movi_launcher.cpp:408-434).  With
     mmap=True, demand-page the row arrays from an index.mmap/ layout
-    (the reference's --mmap, move_structure_io.cpp:361-397)."""
+    (the reference's --mmap, move_structure_io.cpp:361-397).
+
+    A reference-built index.movi lacks the bound_ff=1 invariant the
+    fused engines need; by default it is NT re-split at load time
+    (index/resplit.py) so such indexes run the fast engines too, like
+    the reference launcher guaranteeing every index its fast path
+    (movi_launcher.cpp:408-434).  Disable with resplit=False
+    (--no-resplit)."""
     from .index.structure import MoveIndex
 
     mmap_dir = os.path.join(index_dir, "index.mmap")
@@ -262,8 +269,46 @@ def _load_index(index_dir, mmap=False):
     if os.path.exists(movi):
         from .index.movi_format import read_movi
 
-        return read_movi(movi)
+        ix = read_movi(movi)
+        if resplit and not ix.separators:
+            from .index.resplit import needs_resplit, resplit_index
+
+            if needs_resplit(ix):
+                r_old = ix.r
+                ix = resplit_index(ix)
+                _log(f"re-split reference-format index for the fused "
+                     f"engines (r {r_old} -> {ix.r}); --no-resplit to "
+                     f"keep the original rows")
+        return ix
     raise SystemExit(f"no index found in {index_dir}")
+
+
+def _apply_ignore_illegal(ix, reads, mode, seed=0):
+    """Host-side --ignore-illegal-chars substitution (check_alphabet,
+    move_structure.cpp:383-397): mode 1 maps illegal chars to 'A',
+    mode 2 to a seeded-random base.  Randoms are drawn per read in
+    right-to-left order -- the scalar engine's processing order -- so
+    every downstream engine (device or scalar) produces the output
+    ScalarEngine(ignore_illegal_chars=mode, seed=seed) would."""
+    from .constants import SEPARATOR
+
+    rng = np.random.default_rng(seed)
+    keep = np.zeros(256, dtype=bool)
+    keep[ix.alphabet] = True
+    if ix.separators:
+        keep[SEPARATOR] = True  # separators pass through unsubstituted
+    out = []
+    for name, seq in reads:
+        arr = np.frombuffer(seq, np.uint8).copy()
+        bad = np.flatnonzero(~keep[arr])
+        if len(bad):
+            if mode == 1:
+                arr[bad] = ord("A")
+            else:
+                for p in bad[::-1]:
+                    arr[p] = ix.alphabet[rng.integers(0, ix.sigma)]
+        out.append((name, arr.tobytes()))
+    return out
 
 
 def _load_color_table(index_dir, ix):
@@ -359,11 +404,21 @@ def cmd_query(args):
         _log("profiler trace written")
         return
 
-    ix = _load_index(args.index, mmap=args.mmap)
+    ix = _load_index(args.index, mmap=args.mmap,
+                     resplit=not args.no_resplit)
     qt = _query_type(args)
     reads = list(iter_fastx(args.read))
     if args.reverse:
         reads = [(n, s[::-1]) for n, s in reads]
+    if args.ignore_illegal_chars:
+        # --ignore-illegal-chars is host-side read preprocessing
+        # (check_alphabet, move_structure.cpp:383-397), applied before
+        # batching so the DEVICE engines honor it too; mode-2 randoms
+        # are drawn in the scalar engine's processing order (per read,
+        # right to left) so device output stays bit-identical to
+        # ScalarEngine with the same seed.
+        reads = _apply_ignore_illegal(ix, reads,
+                                      args.ignore_illegal_chars)
 
     if args.logs:
         args.no_jax = True  # per-base cost tracing runs on the scalar path
@@ -1270,6 +1325,9 @@ def main(argv=None):
                    help="write a jax.profiler trace to this directory")
     q.add_argument("--mmap", action="store_true",
                    help="memory-map the index row arrays")
+    q.add_argument("--no-resplit", action="store_true",
+                   help="do not NT re-split a reference-format index at "
+                        "load time (keeps the compact fallback engine)")
     q.add_argument("--no-output", action="store_true",
                    help="run the query but write no output files")
     q.add_argument("--early-stop", action="store_true",

@@ -541,9 +541,32 @@ def rc_sections(out):
         out["hbm_mem_bases_per_sec"] = round(reads_mem.size / dt, 1)
         _ratio(out, "hbm_mem_bases_per_sec",
                "baseline_measured_mem_bases_per_sec", "vs_baseline_mem")
+    except Exception as e:  # pragma: no cover
+        out["mem_engine_error"] = repr(e)[:200]
+        m2 = None
+
+    try:
+        if m2 is not None:
+            from movi_tpu.engine.fused_kmer2 import FusedKmer2CountEngine
+            from movi_tpu.engine.fused_search2 import (
+                build_fused_search2_index)
+
+            s2 = build_fused_search2_index(ix_rc)
+            batch_kc = _to_batch(reads_mixed[:MEM_LANES])
+            windows = batch_kc.lanes * (READ_LEN - k + 1)
+            dt = _time_query_batch(FusedKmer2CountEngine(m2, s2, k),
+                                   batch_kc)
+            out["hbm_kmer_counts_per_sec"] = round(windows / dt, 1)
+            _ratio(out, "hbm_kmer_counts_per_sec",
+                   "baseline_measured_kmer_counts_per_sec",
+                   "vs_baseline_kmer_counts")
+            del s2
         del m2
         gc.collect()
+    except Exception as e:  # pragma: no cover
+        out["kmer_count_engine_error"] = repr(e)[:200]
 
+    try:
         si_rc = build_fused_search_index(ix_rc)
         batch_kmer = _to_batch(reads_mixed[:MEM_LANES])
         windows = batch_kmer.lanes * (READ_LEN - k + 1)
@@ -555,24 +578,7 @@ def rc_sections(out):
         del si_rc
         gc.collect()
     except Exception as e:  # pragma: no cover
-        out["mem_engine_error"] = repr(e)[:200]
-
-    try:
-        from movi_tpu.engine.fused_search2 import (
-            Fused2KmerCountEngine, build_fused_search2_index)
-
-        s2 = build_fused_search2_index(ix_rc)
-        batch_kc = _to_batch(reads_mixed[:MEM_LANES])
-        windows = batch_kc.lanes * (READ_LEN - k + 1)
-        dt = _time_query_batch(Fused2KmerCountEngine(s2, k), batch_kc)
-        out["hbm_kmer_counts_per_sec"] = round(windows / dt, 1)
-        _ratio(out, "hbm_kmer_counts_per_sec",
-               "baseline_measured_kmer_counts_per_sec",
-               "vs_baseline_kmer_counts")
-        del s2
-        gc.collect()
-    except Exception as e:  # pragma: no cover
-        out["kmer_count_engine_error"] = repr(e)[:200]
+        out["membership_engine_error"] = repr(e)[:200]
 
 
 def _enable_compile_cache():

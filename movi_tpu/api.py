@@ -273,6 +273,31 @@ class Index:
         if jax and counts and self._is_bounded():
             from .engine.select import use_paired_search
 
+            ix = self.ix
+            rc_sym = (bytes(ix.alphabet) == b"ACGT"
+                      and int(ix.counts[0]) == int(ix.counts[3])
+                      and int(ix.counts[1]) == int(ix.counts[2]))
+            if rc_sym and use_paired_search(ix.r, ix.sigma, force=paired):
+                # bidirectional k/2-cache engine (rc-complete index
+                # detected via count symmetry)
+                from .engine.fused_kmer2 import FusedKmer2CountEngine
+                from .engine.fused_mem2 import build_fused_mem2_index
+                from .engine.fused_search2 import (
+                    Fused2CountEngine, Fused2ZMLEngine,
+                    build_fused_search2_index)
+
+                if self._fused_mem2 is None:
+                    self._fused_mem2 = build_fused_mem2_index(ix)
+                if self._paired_search is None:
+                    s2 = build_fused_search2_index(ix)
+                    self._paired_search = (Fused2CountEngine(s2),
+                                           Fused2ZMLEngine(s2))
+                eng = FusedKmer2CountEngine(
+                    self._fused_mem2, self._paired_search[0].s2, k)
+                out = []
+                for batch in make_batches(reads, lanes=lanes):
+                    out.extend(zip(batch.names, eng.query_batch(batch)))
+                return out
             if use_paired_search(self.ix.r, self.ix.sigma, force=paired):
                 from .engine.fused_search2 import (
                     Fused2KmerCountEngine, build_fused_search2_index)

@@ -659,8 +659,26 @@ def cmd_query(args):
             from .engine.select import use_paired_search
             from .io.fastx import make_batches as _mb
 
-            if use_paired_search(ix.r, ix.sigma,
-                                 force=_paired_force(args)):
+            # the bidirectional k/2-cache engine needs an rc-complete
+            # ACGT index (sequitur.cpp:7-9); rc-closure is detected via
+            # the necessary count symmetry #A == #T, #C == #G
+            rc_sym = (bytes(ix.alphabet) == b"ACGT"
+                      and int(ix.counts[0]) == int(ix.counts[3])
+                      and int(ix.counts[1]) == int(ix.counts[2]))
+            if rc_sym and use_paired_search(ix.r, ix.sigma,
+                                            force=_paired_force(args)):
+                from .engine.fused_kmer2 import FusedKmer2CountEngine
+                from .engine.fused_mem2 import build_fused_mem2_index
+                from .engine.fused_search2 import (
+                    build_fused_search2_index)
+
+                _log("using the bidirectional kmer-count engine "
+                     "(k/2 partial-interval cache)")
+                eng = FusedKmer2CountEngine(
+                    build_fused_mem2_index(ix),
+                    build_fused_search2_index(ix), args.k)
+            elif use_paired_search(ix.r, ix.sigma,
+                                   force=_paired_force(args)):
                 from .engine.fused_search2 import (
                     Fused2KmerCountEngine, build_fused_search2_index)
 

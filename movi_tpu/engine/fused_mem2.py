@@ -163,6 +163,44 @@ def _decode_lf(rec, off_in):
     return rec[:, 1] + ff, off0 - ff * cum1, rec[:, 4] + off0
 
 
+def mem2_step(m2: FusedMem2Index, rs, os_, re, oe, a):
+    """One backward_search_step on the wide records, outside the tick
+    machine (used by the k-mer count engine's right-extension chain).
+
+    Returns (nrs, nos, nre, noe, nabs_s, nabs_e, skip, empty); `skip`
+    is the bidirectional advance of the companion interval computed
+    from the embedded (P, u) fields at the PRE-step interval -- valid
+    when `a` is the stepped direction's char (extend_left: a = fw char;
+    extend_right: a = comp(text char) stepping the rc side)."""
+    sigma, r = m2.sigma, m2.r
+    lanes = rs.shape[0]
+    a_s = jnp.maximum(a, 0)
+    key_lo = a_s * r + jnp.clip(rs, 0, r - 1)
+    key_hi = sigma * r + a_s * r + jnp.clip(re, 0, r - 1)
+    both = jnp.take(m2.rec_all, jnp.concatenate([key_lo, key_hi]),
+                    axis=0)
+    lo, hi = both[:lanes], both[lanes:]
+    drs = lo[:, 0]
+    dre = hi[:, 0]
+    empty = (a < 0) | (drs >= r) | (drs > re)
+    os1 = jnp.where(drs != rs, 0, os_)
+    oe1 = jnp.where(dre != re, hi[:, 3] - 1, oe)
+    nrs, nos, nabs_s = _decode_lf(lo, os1)
+    nre, noe, nabs_e = _decode_lf(hi, oe1)
+    skip = (hi[:, 5] + hi[:, 6] * (oe + 1)
+            - lo[:, 5] - lo[:, 6] * os_)
+    return nrs, nos, nre, noe, nabs_s, nabs_e, skip, empty
+
+
+def mem2_resolve(m2: FusedMem2Index, abs_pos):
+    """(run, offset) of absolute BWT rows via the appended pos2rba
+    rows: one gathered 32 B row each."""
+    base = 2 * m2.sigma * m2.r
+    row = jnp.take(m2.rec_all,
+                   base + jnp.clip(abs_pos, 0, m2.n - 1), axis=0)
+    return row[:, 0], abs_pos - row[:, 1]
+
+
 def make_mem2_state(lanes: int, W: int, lengths: jax.Array, L: int):
     z = jnp.zeros((lanes,), jnp.int32)
     return dict(

@@ -100,3 +100,34 @@ def use_paired_search(r: int, sigma: int,
     return (r < MAX_RUNS and sigma + 2 <= 8
             and paired_search_table_bytes(r, sigma)
             <= BUDGET_FRACTION * device_memory_budget())
+
+
+def one_step_pml_table_bytes(r: int, sigma: int) -> int:
+    return 8 * (sigma + 1) * r
+
+
+def one_step_search_table_bytes(r: int, sigma: int) -> int:
+    return 32 * sigma * r
+
+
+def pick_backend(r: int, sigma: int, kind: str = "pml",
+                 model_shards: int = 1,
+                 force_paired: Optional[bool] = None) -> str:
+    """Full engine ladder selection (docs/PERF.md section 6): 'paired'
+    when the two-step layout fits, else 'one-step', else -- when the
+    one-step table itself exceeds the budget and a model mesh axis is
+    available -- 'sharded' (parallel/sharded_index.py: table split over
+    model_shards chips, capacity x shards), else the 'compact'
+    fallback."""
+    one_step = (one_step_pml_table_bytes if kind == "pml"
+                else one_step_search_table_bytes)(r, sigma)
+    paired = (use_paired_pml if kind == "pml"
+              else use_paired_search)(r, sigma, force=force_paired)
+    if paired:
+        return "paired"
+    budget = BUDGET_FRACTION * device_memory_budget()
+    if one_step <= budget:
+        return "one-step"
+    if model_shards > 1 and one_step <= budget * model_shards:
+        return "sharded"
+    return "compact"

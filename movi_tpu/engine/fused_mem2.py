@@ -258,18 +258,19 @@ def _mem2_scan(m2: FusedMem2Index, alphas: jax.Array, state, L: int,
         phase = jnp.where(is_init & past_end, DONE, phase)
         pos = jnp.where(init_illegal, pos + L - 1, pos)
 
-        # ---------------- the ONE gather, phase-keyed
+        # ---------------- the ONE gather, phase-keyed.  One phase-
+        # selected char fetch serves every stepping phase (the [lanes,
+        # W] one-hot selects are the tick's main VPU cost; v1 spent 4+)
         in_back = phase == BACK
         in_resolve = phase == RESOLVE
         in_fwd = phase == FWD
         in_next = phase == NEXT
-        c_back = char_at(pos + L - 2 - jc)
-        c_fwd_raw = char_at(jc)
-        c_fwd = jnp.where(c_fwd_raw >= 0, sigma - 1 - c_fwd_raw,
-                          jnp.where(c_fwd_raw == -1, 0, -1))
-        c_next = char_at(end - 1 - jc)
-        a = jnp.where(in_back, c_back,
-                      jnp.where(in_fwd, c_fwd, c_next))
+        p_step = jnp.where(in_back, pos + L - 2 - jc,
+                           jnp.where(in_fwd, jc, end - 1 - jc))
+        c_raw = char_at(p_step)
+        c_fwd = jnp.where(c_raw >= 0, sigma - 1 - c_raw,
+                          jnp.where(c_raw == -1, 0, -1))
+        a = jnp.where(in_fwd, c_fwd, c_raw)
         fwd_at_end = in_fwd & (jc >= m)
         a = jnp.where(fwd_at_end, -1, a)
         a_s = jnp.maximum(a, 0)
@@ -355,9 +356,11 @@ def _mem2_scan(m2: FusedMem2Index, alphas: jax.Array, state, L: int,
         at_read_end = fwd_fail & (jc >= m)
         phase2 = jnp.where(fwd_fail, NEXT, phase2)
         phase2 = jnp.where(at_read_end, DONE, phase2)
-        # NEXT init: fw = init(seq[end]), jc = 0
+        # NEXT init: fw = init(seq[end]), jc = 0.  For go_next lanes
+        # (a FWD failure) end2 == jc == p_step, so the raw char fetched
+        # above IS seq[end2] -- no second select needed.
         go_next = fwd_fail & ~at_read_end
-        c_end = char_at(end2)
+        c_end = c_raw
         nx = _init6(m2, c_end)
         frs2 = jnp.where(go_next, nx[0], frs2)
         fos2 = jnp.where(go_next, nx[1], fos2)

@@ -173,7 +173,14 @@ def _init_interval_oh(si: FusedSearchIndex, a):
     return rec[:, 0], rec[:, 1], rec[:, 2], rec[:, 3]
 
 
-_CHAR_ONEHOT_MAX_W = 512
+# One-hot vs per-lane gather for tick-machine char fetches/emits: the
+# one-hot costs O(lanes*W) VPU work per tick, the gather one scalar-core
+# op.  One-hot wins when the tick is gather-bound (v1 machines, ~10
+# rows/tick); the v2 machines (~2 rows/tick) have scalar-core headroom,
+# so the threshold is tunable for measurement (MOVI_TPU_ONEHOT_W).
+import os as _os
+
+_CHAR_ONEHOT_MAX_W = int(_os.environ.get("MOVI_TPU_ONEHOT_W", 512))
 
 
 def _char_select(alphas, lane_iota, pos):

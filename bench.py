@@ -535,7 +535,7 @@ def rc_sections(out):
                                                 build_fused_mem2_index)
         from movi_tpu.engine.fused_search import build_fused_search_index
 
-        m2 = build_fused_mem2_index(ix_rc)
+        m2 = build_fused_mem2_index(ix_rc, ftab_k=min(10, MEM_L))
         batch_mem = _to_batch(reads_mem)
         dt = _time_query_batch(FusedMem2Engine(m2, MEM_L), batch_mem)
         out["hbm_mem_bases_per_sec"] = round(reads_mem.size / dt, 1)

@@ -619,13 +619,17 @@ def cmd_query(args):
             from .io.outputs import mem_lines
 
             if args.min_mem_length >= 2:
-                # BML runs on the v2 one-gather-per-tick records
+                # BML runs on the v2 one-gather-per-tick records, with
+                # an ftab anchor jumping the first fk BACK steps
+                # (mem_finder.cpp:34-43); --ftab-k overrides the width
                 from .engine.fused_mem2 import (FusedMem2Engine,
                                                 build_fused_mem2_index)
 
-                _log("using the fused MEM engine (v2)")
-                eng = FusedMem2Engine(build_fused_mem2_index(ix),
-                                      args.min_mem_length)
+                fk = min(args.ftab_k or 10, args.min_mem_length)
+                _log(f"using the fused MEM engine (v2, ftab-{fk})")
+                eng = FusedMem2Engine(
+                    build_fused_mem2_index(ix, ftab_k=fk),
+                    args.min_mem_length)
             else:
                 from .engine.fused_mem import (FusedAllMemEngine,
                                                build_fused_mem_index)

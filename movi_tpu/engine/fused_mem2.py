@@ -53,7 +53,7 @@ from ..io.fastx import ReadBatch
 _GUARD = 0xFFFF
 
 # phases
-INIT, BACK, RESOLVE, FWD, NEXT, DONE = 0, 1, 2, 3, 4, 5
+INIT, BACK, RESOLVE, FWD, NEXT, DONE, BSCAN = 0, 1, 2, 3, 4, 5, 6
 
 
 @dataclass
@@ -63,21 +63,100 @@ class FusedMem2Index:
     n: int
     # rows [0, sigma*r): "down" records; [sigma*r, 2*sigma*r): "up"
     # records; [2*sigma*r, 2*sigma*r + n): pos2rba rows (w0 = run,
-    # w1 = all_p[run]) -- one table so every tick is ONE gather
-    rec_all: jax.Array       # int32 [2*sigma*r + n, 8]
+    # w1 = all_p[run]); optionally [.., .. + 4^ftab_k): ftab anchor rows
+    # (rs, os, re, oe, abs_s, count, rc_abs_s, valid) -- ONE table so
+    # every tick stays ONE gather
+    rec_all: jax.Array       # int32 [2*sigma*r + n (+ 4^fk), 8]
     # init_rec6[a+1] = (rs, os, re, oe, abs_s, abs_e)
     init_rec6: jax.Array     # int32 [sigma+2, 6]
     alphamap_query: np.ndarray
+    ftab_k: int = 0
 
 
 jax.tree_util.register_dataclass(
     FusedMem2Index,
     data_fields=["rec_all", "init_rec6", "alphamap_query"],
-    meta_fields=["r", "sigma", "n"],
+    meta_fields=["r", "sigma", "n", "ftab_k"],
 )
 
 
-def build_fused_mem2_index(ix: MoveIndex) -> FusedMem2Index:
+def build_ftab_rows(ix: MoveIndex, fk: int) -> np.ndarray:
+    """[4^fk, 8] int32 anchor rows per fk-mer code (kmer_to_number bit
+    order, utils.cpp:120-139): (rs, os, re, oe, abs_s, count, rc_abs_s,
+    valid).  Built level-by-level with vectorized backward-search steps
+    (replaces the reference's per-code loop, move_structure_build.cpp:
+    1121-1171); the rc interval start is the fw row of the
+    reverse-complement code (rc-closed index)."""
+    r, sigma = ix.r, ix.sigma
+    assert sigma == 4
+    nu, nd = ix.next_tables_search()
+    id_a = ix.id_arr.astype(np.int64)
+    off_a = ix.offset_arr.astype(np.int64)
+    n_a = ix.n_arr.astype(np.int64)
+    all_p = ix.all_p
+
+    def lf(run, off):
+        run2 = id_a[run]
+        off2 = off_a[run] + off
+        ff = (off2 >= n_a[run2]) & (run2 < r - 1)  # bound_ff=1
+        off2 = off2 - np.where(ff, n_a[run2], 0)
+        return run2 + ff, off2
+
+    rs = ix.first_runs[1:5].astype(np.int64).copy()
+    os_ = ix.first_offsets[1:5].astype(np.int64).copy()
+    re = ix.last_runs[1:5].astype(np.int64).copy()
+    oe = ix.last_offsets[1:5].astype(np.int64).copy()
+    valid = np.ones(4, dtype=bool)
+    for _level in range(2, fk + 1):
+        rs_t, os_t, re_t, oe_t, v_t = [], [], [], [], []
+        for a in range(4):
+            d = nd[a][np.clip(rs, 0, r - 1)]
+            ok = valid & (d < r) & (d <= re)
+            dc = np.clip(d, 0, r - 1)
+            o1 = np.where(d == rs, os_, 0)
+            e2 = np.clip(nu[a][np.clip(re, 0, r - 1)], 0, r - 1)
+            o2 = np.where(e2 == re, oe, n_a[e2] - 1)
+            nrs, nos = lf(dc, o1)
+            nre, noe = lf(e2, o2)
+            rs_t.append(np.where(ok, nrs, 1))
+            os_t.append(np.where(ok, nos, 0))
+            re_t.append(np.where(ok, nre, 0))
+            oe_t.append(np.where(ok, noe, 0))
+            v_t.append(ok)
+        rs, os_ = np.concatenate(rs_t), np.concatenate(os_t)
+        re, oe = np.concatenate(re_t), np.concatenate(oe_t)
+        valid = np.concatenate(v_t)
+    fabs = np.where(valid, all_p[np.clip(rs, 0, r - 1)] + os_, 0)
+    cnt = np.where(valid,
+                   all_p[np.clip(re, 0, r - 1)] + oe - fabs + 1, 0)
+    codes = np.arange(4 ** fk, dtype=np.int64)
+    rc = np.zeros_like(codes)
+    tmp = codes.copy()
+    for _ in range(fk):
+        rc = (rc << 2) | (3 - (tmp & 3))
+        tmp >>= 2
+    valid = valid & valid[rc]
+    rc_abs = np.where(valid, fabs[rc], 0)
+    return np.stack([rs, os_, re, oe, fabs, cnt, rc_abs,
+                     valid.astype(np.int64)], axis=1).astype(np.int32)
+
+
+def window_codes(al: np.ndarray, fk: int) -> np.ndarray:
+    """codes[i, p] = packed code of al[i, p-fk+1..p]; -1 where the span
+    leaves the read or contains an illegal slot."""
+    lanes, W = al.shape
+    out = np.full((lanes, W), -1, dtype=np.int64)
+    if W >= fk:
+        sw = np.lib.stride_tricks.sliding_window_view(al, fk, axis=1)
+        ok = (sw >= 0).all(axis=2)
+        pw = (4 ** np.arange(fk - 1, -1, -1)).astype(np.int64)
+        codes = (np.maximum(sw, 0) * pw).sum(axis=2)
+        out[:, fk - 1:] = np.where(ok, codes, -1)
+    return out.astype(np.int32)
+
+
+def build_fused_mem2_index(ix: MoveIndex,
+                           ftab_k: int = 0) -> FusedMem2Index:
     r, sigma = ix.r, ix.sigma
     assert bytes(ix.alphabet) == b"ACGT", (
         "device MEM engine requires the ACGT alphabet (complement is "
@@ -129,7 +208,10 @@ def build_fused_mem2_index(ix: MoveIndex) -> FusedMem2Index:
     p2r = np.zeros((n_total, 8), dtype=np.int32)
     p2r[:, 0] = runs
     p2r[:, 1] = ix.all_p[:-1][runs]
-    rec_all = np.concatenate([records(nds), records(nus), p2r])
+    parts = [records(nds), records(nus), p2r]
+    if ftab_k > 1:
+        parts.append(build_ftab_rows(ix, ftab_k))
+    rec_all = np.concatenate(parts)
 
     alphamap_query = np.full(256, -1, dtype=np.int32)
     for a, ch in enumerate(ix.alphabet):
@@ -146,7 +228,7 @@ def build_fused_mem2_index(ix: MoveIndex) -> FusedMem2Index:
         r=r, sigma=sigma, n=n_total,
         rec_all=jnp.asarray(rec_all),
         init_rec6=jnp.asarray(init6.astype(np.int32)),
-        alphamap_query=alphamap_query)
+        alphamap_query=alphamap_query, ftab_k=ftab_k)
 
 
 def _init6(m2: FusedMem2Index, a):
@@ -213,19 +295,35 @@ def make_mem2_state(lanes: int, W: int, lengths: jax.Array, L: int):
     )
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def _mem2_scan(m2: FusedMem2Index, alphas: jax.Array, state, L: int,
-               ticks: int):
-    """BML scan, one combined-table gather per tick.  alphas: int32
-    [lanes, W] in READ order (-1 illegal, -3 '#', -2 beyond)."""
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _mem2_scan(m2: FusedMem2Index, alc: jax.Array, state, L: int,
+               ticks: int, use_ftab: bool = False):
+    """BML scan, one combined-table gather per tick.  alc: int32
+    [lanes, W] read-order slots (-1 illegal, -3 '#', -2 beyond); with
+    use_ftab, [lanes, 2W] -- slots next to per-position ftab codes
+    (window_codes), kept in one array so lane compaction slices both.
+
+    The ftab anchor (mem_finder.cpp:34-43): INIT gathers the window
+    end's fk-mer row from the appended ftab rows (same combined table,
+    still one gather per tick); a hit jumps the first fk BACK steps; a
+    miss (absent fk-mer or illegal char in its span) runs the plain
+    backward scan of the reference's ftab_skip path (BSCAN phase,
+    mem_finder.cpp:44-56) to find the next anchor.  Emissions are
+    unchanged -- extension failures happen at the same characters."""
     sigma, r = m2.sigma, m2.r
     P2R = 2 * sigma * r
-    lanes, W = alphas.shape
+    FTB = P2R + m2.n
+    lanes = alc.shape[0]
+    W = alc.shape[1] // 2 if use_ftab else alc.shape[1]
+    alphas = alc[:, :W]
     lane_iota = jnp.arange(lanes)
     m = jnp.sum(alphas > -2, axis=1).astype(jnp.int32)
 
     def char_at(p):
         return _char_select(alphas, lane_iota, p)
+
+    def code_at(p):
+        return _char_select(alc[:, W:], lane_iota, p)
 
     def tick(state, _):
         phase = state["phase"]
@@ -246,15 +344,20 @@ def _mem2_scan(m2: FusedMem2Index, alphas: jax.Array, state, L: int,
         i_r = _init6(m2, c0r)
         do_init = is_init & ~past_end & (c0 >= 0)
         init_illegal = is_init & ~past_end & (c0 < 0)
-        frs = jnp.where(do_init, i_f[0], frs)
-        fos = jnp.where(do_init, i_f[1], fos)
-        fre = jnp.where(do_init, i_f[2], fre)
-        foe = jnp.where(do_init, i_f[3], foe)
-        fas = jnp.where(do_init, i_f[4], fas)
-        fae = jnp.where(do_init, i_f[5], fae)
-        ras = jnp.where(do_init, i_r[4], ras)
-        jc = jnp.where(do_init, 0, jc)
-        phase = jnp.where(do_init, BACK, phase)
+        if not use_ftab:
+            # anchored lanes step in the SAME tick (fall into BACK)
+            frs = jnp.where(do_init, i_f[0], frs)
+            fos = jnp.where(do_init, i_f[1], fos)
+            fre = jnp.where(do_init, i_f[2], fre)
+            foe = jnp.where(do_init, i_f[3], foe)
+            fas = jnp.where(do_init, i_f[4], fas)
+            fae = jnp.where(do_init, i_f[5], fae)
+            ras = jnp.where(do_init, i_r[4], ras)
+            jc = jnp.where(do_init, 0, jc)
+            phase = jnp.where(do_init, BACK, phase)
+        else:
+            # anchored lanes spend THIS tick gathering their ftab row
+            code0 = code_at(pos + L - 1)
         phase = jnp.where(is_init & past_end, DONE, phase)
         pos = jnp.where(init_illegal, pos + L - 1, pos)
 
@@ -265,7 +368,10 @@ def _mem2_scan(m2: FusedMem2Index, alphas: jax.Array, state, L: int,
         in_resolve = phase == RESOLVE
         in_fwd = phase == FWD
         in_next = phase == NEXT
-        p_step = jnp.where(in_back, pos + L - 2 - jc,
+        in_bscan = (phase == BSCAN) if use_ftab \
+            else jnp.zeros_like(in_back)
+        backish = in_back | in_bscan
+        p_step = jnp.where(backish, pos + L - 2 - jc,
                            jnp.where(in_fwd, jc, end - 1 - jc))
         c_raw = char_at(p_step)
         c_fwd = jnp.where(c_raw >= 0, sigma - 1 - c_raw,
@@ -288,6 +394,10 @@ def _mem2_scan(m2: FusedMem2Index, alphas: jax.Array, state, L: int,
             in_resolve, P2R + jnp.clip(rae_want, 0, m2.n - 1),
             sigma * r + a_s * r + jnp.minimum(jnp.maximum(iv_re, 0),
                                               r - 1))
+        if use_ftab:
+            fkey = FTB + jnp.maximum(code0, 0)
+            key_lo = jnp.where(do_init, fkey, key_lo)
+            key_hi = jnp.where(do_init, fkey, key_hi)
         both = jnp.take(m2.rec_all,
                         jnp.concatenate([key_lo, key_hi]), axis=0)
         lo, hi = both[:lanes], both[lanes:]
@@ -305,25 +415,33 @@ def _mem2_scan(m2: FusedMem2Index, alphas: jax.Array, state, L: int,
         skip = (hi[:, 5] + hi[:, 6] * (iv_oe + 1)
                 - lo[:, 5] - lo[:, 6] * iv_os)
 
-        active = in_back | in_fwd | in_next
+        active = backish | in_fwd | in_next
         ok = active & ~empty
 
-        # ---------------- BACK: extend_left; rc carried in abs only
-        back_ok = in_back & ok
+        # ---------------- BACK/BSCAN: extend_left; rc in abs only
+        # (BSCAN steps fw identically but maintains no rc and cannot
+        # complete -- the ftab miss guarantees a failure in the span)
+        back_ok = backish & ok
         frs2 = jnp.where(back_ok, nrs, frs)
         fos2 = jnp.where(back_ok, nos, fos)
         fre2 = jnp.where(back_ok, nre, fre)
         foe2 = jnp.where(back_ok, noe, foe)
         fas2 = jnp.where(back_ok, nas, fas)
         fae2 = jnp.where(back_ok, nae, fae)
-        ras2 = jnp.where(back_ok, ras + skip, ras)
-        back_fail = in_back & ~ok
+        ras2 = jnp.where(in_back & ok, ras + skip, ras)
+        back_fail = backish & ~ok
         pos2 = jnp.where(back_fail, pos + L - 1 - jc, pos)
         phase2 = jnp.where(back_fail, INIT, phase)
         jc2 = jnp.where(back_ok, jc + 1, jc)
-        back_done = back_ok & (jc2 >= L - 1)
+        back_done = (in_back & ok) & (jc2 >= L - 1)
         phase2 = jnp.where(back_done, RESOLVE, phase2)
         jc2 = jnp.where(back_done, pos + L, jc2)
+        if use_ftab:
+            # can't-happen guard (reference throws): a completed BSCAN
+            # emits nothing and re-anchors one position right
+            bscan_done = (in_bscan & ok) & (jc2 >= L - 1)
+            phase2 = jnp.where(bscan_done, INIT, phase2)
+            pos2 = jnp.where(bscan_done, pos + 1, pos2)
 
         # ---------------- RESOLVE: rc abs -> (run, offset), one tick
         res_rrs = lo[:, 0]
@@ -384,6 +502,33 @@ def _mem2_scan(m2: FusedMem2Index, alphas: jax.Array, state, L: int,
         pos2 = jnp.where(next_init_illegal, end2, pos2)
         phase2 = jnp.where(stop | next_init_illegal, INIT, phase2)
 
+        if use_ftab:
+            # ---------------- ftab INIT landing (disjoint lanes)
+            row = lo
+            hit = do_init & (code0 >= 0) & (row[:, 7] == 1)
+            miss = do_init & ~hit
+            frs2 = jnp.where(hit, row[:, 0], jnp.where(miss, i_f[0],
+                                                       frs2))
+            fos2 = jnp.where(hit, row[:, 1], jnp.where(miss, i_f[1],
+                                                       fos2))
+            fre2 = jnp.where(hit, row[:, 2], jnp.where(miss, i_f[2],
+                                                       fre2))
+            foe2 = jnp.where(hit, row[:, 3], jnp.where(miss, i_f[3],
+                                                       foe2))
+            fas2 = jnp.where(hit, row[:, 4], fas2)
+            fae2 = jnp.where(hit, row[:, 4] + row[:, 5] - 1, fae2)
+            ras2 = jnp.where(hit, row[:, 6], ras2)
+            if m2.ftab_k >= L:
+                # the ftab row covers the whole window: no BACK steps
+                jc2 = jnp.where(hit, pos + L, jnp.where(miss, 0, jc2))
+                phase2 = jnp.where(hit, RESOLVE,
+                                   jnp.where(miss, BSCAN, phase2))
+            else:
+                jc2 = jnp.where(hit, m2.ftab_k - 1,
+                                jnp.where(miss, 0, jc2))
+                phase2 = jnp.where(hit, BACK,
+                                   jnp.where(miss, BSCAN, phase2))
+
         new_state = dict(phase=phase2, pos=pos2, jc=jc2, end=end2,
                          frs=frs2, fos=fos2, fre=fre2, foe=foe2,
                          fas=fas2, fae=fae2,
@@ -415,12 +560,20 @@ class FusedMem2Engine:
         amap[ord("#")] = -3  # '#' complements to itself (never matches)
         from ..io.fastx import left_aligned_slots
 
-        al = jnp.asarray(left_aligned_slots(batch, amap))
+        al_np = left_aligned_slots(batch, amap)
+        use_ftab = 1 < self.m2.ftab_k <= self.L
+        if use_ftab:
+            # slots and per-position ftab codes share one array so the
+            # lane compaction slices both together
+            al_np = np.concatenate(
+                [al_np, window_codes(al_np, self.m2.ftab_k)], axis=1)
+        al = jnp.asarray(al_np)
         state = make_mem2_state(
             lanes, W, jnp.asarray(batch.lengths.astype(np.int32)), self.L)
         ticks = 4 * W + 64
         ends, counts = _resume_compacted(
-            lambda a, st: _mem2_scan(self.m2, a, st, self.L, ticks),
+            lambda a, st: _mem2_scan(self.m2, a, st, self.L, ticks,
+                                     use_ftab),
             state, al, lanes, W, DONE, max_iters=W, label="MEM2")
         res = []
         for i in range(lanes):

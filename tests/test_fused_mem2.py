@@ -86,3 +86,23 @@ def test_mem2_matches_v1(setup):
         got1 = FusedMemEngine(mi, 12).query_batch(b)
         got2 = FusedMem2Engine(m2, 12).query_batch(b)
         assert got1 == got2
+
+
+@pytest.mark.parametrize("fk", [4, 7, 12])
+def test_mem2_ftab_anchor_matches_oracle(setup, fk):
+    """ftab-anchored BML == the ftab-less oracle for every L around fk
+    (hit path, miss/BSCAN path, and the fk == L full-cover case)."""
+    rng, bases, fw, ix, adv, _ = setup
+    m2f = build_fused_mem2_index(ix, ftab_k=fk)
+    reads = _reads(rng, bases, fw, 20, with_n=True, prefix=f"f{fk}")
+    reads += [("tiny", b"ACGTA"), ("allN", b"N" * 30)]
+    for L in (fk, fk + 1, fk + 6, 20):
+        if L < 2:
+            continue
+        eng = FusedMem2Engine(m2f, L)
+        got = {}
+        for b in make_batches(reads, lanes=len(reads)):
+            for nm, r in zip(b.names, eng.query_batch(b)):
+                got[nm] = r
+        for name, seq in reads:
+            assert got[name] == adv.query_mems(seq, L), (name, L, fk)

@@ -41,7 +41,7 @@ def make_kmer_state(lanes: int, W: int, lengths: jax.Array, k: int):
     return dict(
         phase=jnp.where(pos_init >= k - 1, 0, 2),
         pos=pos_init,
-        cur=z, pc=z, pok=z,
+        cur=z, pc=z, pok=z, pinit=z,
         rs=z, os=z, re=z, oe=z,
         out=jnp.zeros((lanes, W), jnp.int32),
     )
@@ -68,9 +68,9 @@ def _kmer_scan(si: FusedSearchIndex, alphas: jax.Array, state, k: int,
     max_len = k - step  # probe length budget (ml = 0 without ftab)
 
     def char_at(pos):
-        # each lane's char at its own position (clamped; caller guards
-        # validity) -- one-hot on the VPU for typical widths so it does
-        # not compete with the tick's record gather
+        # ONE phase-selected [lanes, W] fetch per tick: the one-hot
+        # select is the tick machine's main VPU cost (measured on the
+        # MEM machine: 3 selects -> 1 gave +33%)
         return _char_select(alphas, lane_iota, pos)
 
     def tick(state, _):
@@ -79,61 +79,70 @@ def _kmer_scan(si: FusedSearchIndex, alphas: jax.Array, state, k: int,
         cur = state["cur"]
         pc = state["pc"]
         pok = state["pok"]
+        pinit = state["pinit"]
 
-        # ---- anchoring lanes (phase 0) ----
-        c_anchor = char_at(pos)
-        anchor_illegal = (phase == 0) & (c_anchor < 0)
+        in_anchor = phase == 0
+        extending = phase == 1
+        probing = phase == 3
+        pi = probing & (pinit == 1)
+
+        # the single phase-selected char position: anchor char at pos,
+        # probe-init char at pc, probe step at pc-1, stretch step at
+        # cur-1
+        p_sel = jnp.where(in_anchor, pos,
+                          jnp.where(probing,
+                                    jnp.where(pi, pc, pc - 1), cur - 1))
+        c_sel = char_at(p_sel)
+
+        # ---- anchoring lanes (phase 0): decide, init, no step ----
+        anchor_illegal = in_anchor & (c_sel < 0)
         # skip illegal chars: pos -= 1 (query_all_kmers:341-343,417-419)
         pos1 = jnp.where(anchor_illegal, pos - 1, pos)
-        legal = (phase == 0) & (c_anchor >= 0) & (pos1 >= k - 1)
-        # probe eligibility: far enough from the read start, probing
-        # enabled (step >= 1), and not already passed at this pos
-        eligible = legal & (pos1 >= k - 1 + step) & (pok == 0) if step >= 1 \
-            else jnp.zeros_like(legal)
-        c_probe0 = char_at(pos1 - step)
-        probe_enter = eligible & (c_probe0 >= 0)
-        # illegal probe-anchor char: the probe init interval is empty in
-        # the oracle, so look_ahead evaluates false -> skip immediately
-        probe_instafail = eligible & (c_probe0 < 0)
-        pos1 = jnp.where(probe_instafail, pos1 - step - 1, pos1)
+        legal = in_anchor & (c_sel >= 0) & (pos1 >= k - 1)
+        eligible = (legal & (pos1 >= k - 1 + step) & (pok == 0)) \
+            if step >= 1 else jnp.zeros_like(legal)
         anchored = legal & ~eligible
-        c_init = jnp.where(probe_enter, c_probe0, c_anchor)
-        irs, ios, ire, ioe = _init_interval_oh(si, c_init)
-        start_lane = anchored | probe_enter
-        rs = jnp.where(start_lane, irs, state["rs"])
-        os_ = jnp.where(start_lane, ios, state["os"])
-        re = jnp.where(start_lane, ire, state["re"])
-        oe = jnp.where(start_lane, ioe, state["oe"])
-        cur1 = jnp.where(anchored, pos1, cur)
-        pc1 = jnp.where(probe_enter, pos1 - step, pc)
+        # probe entry: position only; the probe INIT happens next tick
+        # from the same shared select (look_ahead_backward_search,
+        # move_structure_search.cpp:354-385)
+        pc1 = jnp.where(eligible, pos1 - step, pc)
+        pinit1 = jnp.where(eligible, 1, pinit)
+        phase1 = jnp.where(eligible, 3, jnp.where(anchored, 1, phase))
         pok1 = jnp.where(anchored, 0, pok)
-        phase1 = jnp.where(anchored, 1,
-                           jnp.where(probe_enter, 3, phase))
-        # anchor below k-1 (incl. after an instafail skip): done
+        cur1 = jnp.where(anchored, pos1, cur)
         phase1 = jnp.where((phase1 == 0) & (pos1 < k - 1), 2, phase1)
 
+        # ---- interval init (tiny-table one-hot): anchor or probe ----
+        do_init = anchored | (pi & (c_sel >= 0))
+        irs, ios, ire, ioe = _init_interval_oh(si, c_sel)
+        rs = jnp.where(do_init, irs, state["rs"])
+        os_ = jnp.where(do_init, ios, state["os"])
+        re = jnp.where(do_init, ire, state["re"])
+        oe = jnp.where(do_init, ioe, state["oe"])
+        pinit1 = jnp.where(pi & (c_sel >= 0), 0, pinit1)
+        pi_fail = pi & (c_sel < 0)  # illegal probe anchor: skip
+
         # ---- the shared backward step (stretch + probe lanes) ----
-        extending = phase1 == 1
-        probing = phase1 == 3
         can_step = extending & (cur1 > 0)
-        can_pstep = probing & (pc1 > 0)
-        a_next = jnp.where(probing, char_at(pc1 - 1), char_at(cur1 - 1))
+        can_pstep = probing & ~pi & (pc1 > 0)
         nrs, nos, nre, noe, empty = fused_bs_step(
             si, rs, os_, re, oe,
-            jnp.where(can_step | can_pstep, a_next, -1))
+            jnp.where(can_step | can_pstep, c_sel, -1))
         step_ok = can_step & ~empty
         pstep_ok = can_pstep & ~empty
-        rs = jnp.where(step_ok | pstep_ok, nrs, rs)
-        os_ = jnp.where(step_ok | pstep_ok, nos, os_)
-        re = jnp.where(step_ok | pstep_ok, nre, re)
-        oe = jnp.where(step_ok | pstep_ok, noe, oe)
+        moved = step_ok | pstep_ok
+        rs = jnp.where(moved, nrs, rs)
+        os_ = jnp.where(moved, nos, os_)
+        re = jnp.where(moved, nre, re)
+        oe = jnp.where(moved, noe, oe)
         cur2 = jnp.where(step_ok, cur1 - 1, cur1)
         pc2 = jnp.where(pstep_ok, pc1 - 1, pc1)
 
         # ---- probe termination (mirrors _backward_search's loop) ----
         plen = (pos1 - step) - pc2
-        probe_end = probing & (~can_pstep | (can_pstep & empty)
-                               | (pstep_ok & (plen > max_len)))
+        probe_end = (probing & ~pi
+                     & (~can_pstep | (can_pstep & empty)
+                        | (pstep_ok & (plen > max_len)))) | pi_fail
         passed = pos1 - pc2 >= k - 1
         pok2 = jnp.where(probe_end & passed, 1, pok1)
         pos2 = jnp.where(probe_end & ~passed, pos1 - step - 1, pos1)
@@ -141,7 +150,7 @@ def _kmer_scan(si: FusedSearchIndex, alphas: jax.Array, state, k: int,
         phase2 = jnp.where(probe_end & ~passed & (pos2 < k - 1), 2,
                            phase2)
 
-        # ---- stretch terminated: failed step, or reached position 0 ----
+        # ---- stretch terminated: failed step, or reached position 0
         terminated = extending & (~step_ok)
         matched = pos1 - cur2  # pos_saved - pos_on_r in the reference
         found = matched - k + 2
@@ -155,7 +164,8 @@ def _kmer_scan(si: FusedSearchIndex, alphas: jax.Array, state, k: int,
                            jnp.where(new_pos >= k - 1, 0, 2), phase2)
 
         new_state = dict(phase=phase2, pos=pos2, cur=cur2, pc=pc2,
-                         pok=pok2, rs=rs, os=os_, re=re, oe=oe, out=out)
+                         pok=pok2, pinit=pinit1, rs=rs, os=os_, re=re,
+                         oe=oe, out=out)
         return new_state, None
 
     state, _ = jax.lax.scan(tick, state, None, length=ticks)

@@ -82,11 +82,15 @@ def _kmer2_right_scan(m2: FusedMem2Index, rchars: jax.Array, k: int):
     return alives, fs, fe
 
 
-@jax.jit
+@partial(jax.jit, static_argnums=(7,))
 def _kmer2_left_bucket(m2: FusedMem2Index, s2: FusedSearch2Index,
-                       abs_s, abs_e, a1s, a2s):
-    """Phase L bucket: resolve the partial fw intervals and run the
-    paired left extensions.  Returns (found, count)."""
+                       fsd, fed, idx, a1s, a2s, row: int):
+    """Phase L bucket: gather the depth-row partials' fw abs intervals
+    from the DEVICE-RESIDENT phase-R emissions (no host round trip of
+    the [k-1, G] arrays), resolve, and run the paired left extensions.
+    Returns (found, count)."""
+    abs_s = jnp.take(fsd[row], idx, axis=0)
+    abs_e = jnp.take(fed[row], idx, axis=0)
     rs, os_ = mem2_resolve(m2, abs_s)
     re, oe = mem2_resolve(m2, abs_e)
     state = dict(rs=rs, os=os_, re=re, oe=oe,
@@ -157,24 +161,30 @@ class FusedKmer2CountEngine:
         p_eff = np.minimum(p, e - k + 2)      # windows in the block
 
         Gp = _pow2(G)
-        rchars = np.full((k, Gp), -1, dtype=np.int32)
+        # ship the chain chars as int8 (25 MB/s relay link), widen once
+        # on device
+        rchars = np.full((k, Gp), -1, dtype=np.int8)
         cols = anchor[:, None] + np.arange(k)[None, :]
         rchars[:, :G] = al[own[:, None], cols].T
-        lch = np.full((p - 1, G), -2, dtype=np.int32) if p > 1 else None
+        lch = None
         if p > 1:
             lcols = anchor[:, None] - 1 - np.arange(p - 1)[None, :]
             ok = lcols >= 0
             lch = np.where(ok, al[own[:, None], np.maximum(lcols, 0)],
-                           -2).T.astype(np.int32)
+                           -2).T.astype(np.int8)
 
-        alives, fs, fe = (np.asarray(x) for x in _kmer2_right_scan(
-            m2, jnp.asarray(rchars), k))
-        alives, fs, fe = alives[:, :G], fs[:, :G], fe[:, :G]
+        alives_d, fsd, fed = _kmer2_right_scan(
+            m2, jnp.asarray(rchars).astype(jnp.int32), k)
+        # only the alive flags cross back to the host (bool [k-1, G]);
+        # the partial abs intervals stay device-resident for the
+        # bucket gathers
+        alives = np.asarray(alives_d)[:, :G]
 
         # depth 0: the full-right window at e
         f0 = alives[-1]
+        d0 = np.asarray(jnp.stack([fsd[-1], fed[-1]]))[:, :G]
         np.add.at(f_out, own[f0], 1)
-        np.add.at(t_out, own[f0], (fe[-1] - fs[-1] + 1)[f0])
+        np.add.at(t_out, own[f0], (d0[1] - d0[0] + 1)[f0])
 
         for d in range(1, p):
             row = k - 2 - d
@@ -183,16 +193,15 @@ class FusedKmer2CountEngine:
             if len(idx) == 0:
                 continue
             M = _pow2(len(idx))
-            a_s = np.zeros(M, dtype=np.int32)
-            a_e = np.zeros(M, dtype=np.int32)
-            a_s[: len(idx)] = fs[row][idx]
-            a_e[: len(idx)] = fe[row][idx]
-            chars = np.full((d + (d & 1), M), -2, dtype=np.int32)
+            idx_p = np.zeros(M, dtype=np.int32)
+            idx_p[: len(idx)] = idx
+            chars = np.full((d + (d & 1), M), -2, dtype=np.int8)
             chars[:d, : len(idx)] = lch[:d][:, idx]
             chars[:, len(idx):] = -1  # pad lanes: first step fails
+            ch_d = jnp.asarray(chars).astype(jnp.int32)
             found, cnt = _kmer2_left_bucket(
-                m2, self.s2, jnp.asarray(a_s), jnp.asarray(a_e),
-                jnp.asarray(chars[0::2]), jnp.asarray(chars[1::2]))
+                m2, self.s2, fsd, fed, jnp.asarray(idx_p),
+                ch_d[0::2], ch_d[1::2], row)
             found = np.asarray(found)[: len(idx)]
             cnt = np.asarray(cnt)[: len(idx)]
             np.add.at(f_out, own[idx][found], 1)

@@ -283,6 +283,28 @@ def mem2_resolve(m2: FusedMem2Index, abs_pos):
     return row[:, 0], abs_pos - row[:, 1]
 
 
+@partial(jax.jit, static_argnums=(1, 2))
+def _prep_alc(al8, fk: int, use_ftab: bool):
+    """Device-side batch prep: widen the int8 slot matrix once (the
+    25 MB/s relay link makes int32 uploads 4x slower) and, with ftab,
+    derive the per-position fk-mer codes on device instead of shipping
+    a second int32 [lanes, W] array."""
+    al = al8.astype(jnp.int32)
+    if not use_ftab:
+        return al
+    W = al.shape[1]
+    code = jnp.zeros_like(al)
+    ok = jnp.ones(al.shape, bool)
+    for j in range(fk):
+        sh = fk - 1 - j
+        a_sh = jnp.pad(al, ((0, 0), (sh, 0)),
+                       constant_values=-1)[:, :W]
+        code = code * 4 + jnp.maximum(a_sh, 0)
+        ok = ok & (a_sh >= 0)
+    ok = ok & (jnp.arange(W) >= fk - 1)[None, :]
+    return jnp.concatenate([al, jnp.where(ok, code, -1)], axis=1)
+
+
 def make_mem2_state(lanes: int, W: int, lengths: jax.Array, L: int):
     z = jnp.zeros((lanes,), jnp.int32)
     return dict(
@@ -562,12 +584,11 @@ class FusedMem2Engine:
 
         al_np = left_aligned_slots(batch, amap)
         use_ftab = 1 < self.m2.ftab_k <= self.L
-        if use_ftab:
-            # slots and per-position ftab codes share one array so the
-            # lane compaction slices both together
-            al_np = np.concatenate(
-                [al_np, window_codes(al_np, self.m2.ftab_k)], axis=1)
-        al = jnp.asarray(al_np)
+        # slots ship int8; the ftab codes are derived ON DEVICE and
+        # share one array with the slots so the lane compaction slices
+        # both together
+        al = _prep_alc(jnp.asarray(al_np.astype(np.int8)),
+                       self.m2.ftab_k if use_ftab else 0, use_ftab)
         state = make_mem2_state(
             lanes, W, jnp.asarray(batch.lengths.astype(np.int32)), self.L)
         ticks = 4 * W + 64

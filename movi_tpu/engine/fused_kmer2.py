@@ -82,15 +82,19 @@ def _kmer2_right_scan(m2: FusedMem2Index, rchars: jax.Array, k: int):
     return alives, fs, fe
 
 
-@partial(jax.jit, static_argnums=(7,))
-def _kmer2_left_bucket(m2: FusedMem2Index, s2: FusedSearch2Index,
-                       fsd, fed, idx, a1s, a2s, row: int):
-    """Phase L bucket: gather the depth-row partials' fw abs intervals
-    from the DEVICE-RESIDENT phase-R emissions (no host round trip of
-    the [k-1, G] arrays), resolve, and run the paired left extensions.
-    Returns (found, count)."""
-    abs_s = jnp.take(fsd[row], idx, axis=0)
-    abs_e = jnp.take(fed[row], idx, axis=0)
+@jax.jit
+def _kmer2_left_flat(m2: FusedMem2Index, s2: FusedSearch2Index,
+                     fsd, fed, flat_idx, a1s, a2s):
+    """Phase L, ALL depths in one call: lanes are the alive partials of
+    every depth; each lane's char stream is padded with the -2 no-op
+    sentinel past its own depth, so one fixed-length paired scan serves
+    every bucket.  The partials' fw abs intervals are gathered from the
+    DEVICE-RESIDENT phase-R emissions by flat (row, group) index -- the
+    30 ms-per-call relay made 14 per-depth calls the dominant cost
+    (~6 round trips each); this is ~5 round trips total.  Returns
+    (found, count)."""
+    abs_s = jnp.take(fsd.ravel(), flat_idx, axis=0)
+    abs_e = jnp.take(fed.ravel(), flat_idx, axis=0)
     rs, os_ = mem2_resolve(m2, abs_s)
     re, oe = mem2_resolve(m2, abs_e)
     state = dict(rs=rs, os=os_, re=re, oe=oe,
@@ -99,9 +103,11 @@ def _kmer2_left_bucket(m2: FusedMem2Index, s2: FusedSearch2Index,
     def body(state, xs):
         a1, a2 = xs
         l2 = a2 >= 0
-        # -2 is the odd-length PAD (no-op); -1 is a genuine illegal read
-        # char, which must KILL the window (unlike the per-window
+        # -2 is the PAD sentinel (no-op: a lane whose depth is shorter
+        # than the flat stream just coasts); -1 is a genuine illegal
+        # read char, which must KILL the window (unlike the per-window
         # engines, lanes here are not pre-filtered for legality)
+        pad1 = a1 == -2
         kill2 = a2 == -1
         mid, fin, e1, e2 = fused2_bs_step(
             s2, state["rs"], state["os"], state["re"], state["oe"],
@@ -111,7 +117,8 @@ def _kmer2_left_bucket(m2: FusedMem2Index, s2: FusedSearch2Index,
         ok1 = alive & ~e1
         ok2 = ok1 & ~e2
         new = dict(dead=state["dead"]
-                   | (alive & (e1 | (l2 & ~e1 & e2) | (~e1 & kill2))))
+                   | (alive & ((~pad1 & e1) | (l2 & ~e1 & e2)
+                               | (~e1 & kill2))))
         for kk, m, f in zip(_IKEYS, mid, fin):
             new[kk] = jnp.where(ok2, f, jnp.where(ok1, m, state[kk]))
         return new, None
@@ -177,7 +184,7 @@ class FusedKmer2CountEngine:
             m2, jnp.asarray(rchars).astype(jnp.int32), k)
         # only the alive flags cross back to the host (bool [k-1, G]);
         # the partial abs intervals stay device-resident for the
-        # bucket gathers
+        # phase-L gather
         alives = np.asarray(alives_d)[:, :G]
 
         # depth 0: the full-right window at e
@@ -186,26 +193,33 @@ class FusedKmer2CountEngine:
         np.add.at(f_out, own[f0], 1)
         np.add.at(t_out, own[f0], (d0[1] - d0[0] + 1)[f0])
 
-        for d in range(1, p):
-            row = k - 2 - d
-            mask = alives[row] & (d <= p_eff - 1)
-            idx = np.flatnonzero(mask)
-            if len(idx) == 0:
-                continue
-            M = _pow2(len(idx))
-            idx_p = np.zeros(M, dtype=np.int32)
-            idx_p[: len(idx)] = idx
-            chars = np.full((d + (d & 1), M), -2, dtype=np.int8)
-            chars[:d, : len(idx)] = lch[:d][:, idx]
-            chars[:, len(idx):] = -1  # pad lanes: first step fails
-            ch_d = jnp.asarray(chars).astype(jnp.int32)
-            found, cnt = _kmer2_left_bucket(
-                m2, self.s2, fsd, fed, jnp.asarray(idx_p),
-                ch_d[0::2], ch_d[1::2], row)
-            found = np.asarray(found)[: len(idx)]
-            cnt = np.asarray(cnt)[: len(idx)]
-            np.add.at(f_out, own[idx][found], 1)
-            np.add.at(t_out, own[idx][found], cnt[found])
+        if p > 1:
+            # flatten the alive partials of every depth into one lane
+            # set: lane (d, g) extends left d times, then -2 no-ops
+            ds = np.arange(1, p)[:, None]                  # [p-1, 1]
+            rows = k - 2 - ds                              # [p-1, 1]
+            mask = alives[rows[:, 0]] & (ds <= p_eff[None, :] - 1)
+            dd, gg = np.nonzero(mask)                      # depth-1, group
+            if len(dd):
+                M = _pow2(len(dd))
+                flat_idx = np.zeros(M, dtype=np.int32)
+                flat_idx[: len(dd)] = (rows[dd, 0] * Gp + gg)
+                S2 = p - 1 + ((p - 1) & 1)
+                chars = np.full((S2, M), -2, dtype=np.int8)
+                # lane j takes lch[:d_j, g_j]; columns past d_j stay -2
+                depth = dd + 1
+                take = np.arange(p - 1)[:, None] < depth[None, :]
+                chars[: p - 1, : len(dd)] = np.where(
+                    take, lch[:, gg], -2)
+                chars[:, len(dd):] = -1  # pad lanes: first step fails
+                ch_d = jnp.asarray(chars).astype(jnp.int32)
+                found, cnt = _kmer2_left_flat(
+                    m2, self.s2, fsd, fed, jnp.asarray(flat_idx),
+                    ch_d[0::2], ch_d[1::2])
+                found = np.asarray(found)[: len(dd)]
+                cnt = np.asarray(cnt)[: len(dd)]
+                np.add.at(f_out, own[gg][found], 1)
+                np.add.at(t_out, own[gg][found], cnt[found])
 
         return [(int(f_out[i]), int(t_out[i]))
                 for i in range(batch.lanes)]

@@ -445,12 +445,17 @@ def _to_batch(reads_arr: np.ndarray):
                      lengths=np.full(lanes, W, np.int32))
 
 
-def _time_query_batch(engine, batch):
-    """Wall-time one query_batch call after a compile+warm call."""
+def _time_query_batch(engine, batch, reps=2):
+    """Wall-time of the best of `reps` query_batch calls after a
+    compile+warm call (the relay adds ~±25% run-to-run noise; min is
+    the stable estimator of the engine's cost)."""
     engine.query_batch(batch)
-    t0 = time.time()
-    engine.query_batch(batch)
-    return time.time() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        engine.query_batch(batch)
+        best = min(best, time.time() - t0)
+    return best
 
 
 def measure_native_search_baselines(ix, reads, out):

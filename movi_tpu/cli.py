@@ -779,7 +779,21 @@ def cmd_query(args):
         bounded = int((id_end - ix.id_arr).max()) <= 1
 
         eng = None
-        if qt == "pml" and ix.thr is not None and bounded and not args.rpml:
+        from .engine.select import pick_backend
+
+        backend = pick_backend(ix.r, ix.sigma,
+                               "pml" if qt == "pml" else "search",
+                               force_paired=_paired_force(args))
+        if backend == "compact":
+            from .commons import warning
+
+            warning(
+                f"index (r={ix.r}) exceeds the single-chip record-table "
+                f"budget; falling back to the compact engine.  A model-"
+                f"sharded mesh runs the fused layout at full speed "
+                f"(parallel/sharded_index.py; engine/select.pick_backend)")
+        if (qt == "pml" and ix.thr is not None and bounded
+                and not args.rpml and backend != "compact"):
             from .engine.fused import (FusedPMLEngine, build_fused_index,
                                        load_fused_index)
 
@@ -822,7 +836,7 @@ def cmd_query(args):
             else:
                 eng = FusedPMLEngine(fi)
                 _log("using the fused single-gather engine")
-        elif qt in ("count", "zml") and bounded:
+        elif qt in ("count", "zml") and bounded and backend != "compact":
             from .engine.select import use_paired_search
 
             if use_paired_search(ix.r, ix.sigma,

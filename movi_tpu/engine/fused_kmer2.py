@@ -82,26 +82,36 @@ def _kmer2_right_scan(m2: FusedMem2Index, rchars: jax.Array, k: int):
     return alives, fs, fe
 
 
-@jax.jit
+@partial(jax.jit, static_argnums=(9,))
 def _kmer2_left_flat(m2: FusedMem2Index, s2: FusedSearch2Index,
-                     fsd, fed, flat_idx, a1s, a2s):
-    """Phase L, ALL depths in one call: lanes are the alive partials of
-    every depth; each lane's char stream is padded with the -2 no-op
-    sentinel past its own depth, so one fixed-length paired scan serves
-    every bucket.  The partials' fw abs intervals are gathered from the
-    DEVICE-RESIDENT phase-R emissions by flat (row, group) index -- the
-    30 ms-per-call relay made 14 per-depth calls the dominant cost
-    (~6 round trips each); this is ~5 round trips total.  Returns
-    (found, count)."""
+                     fsd, fed, al, lane_own, lane_anchor, lane_depth,
+                     flat_idx, S: int):
+    """Phase L, ALL depths in ONE call: lanes are the alive partials of
+    every depth (plus the depth-0 full-right windows).  Per-lane char
+    streams are derived ON DEVICE from the read slot matrix `al`
+    (gathers from a VMEM-scale table are cheap; shipping [S, M] char
+    arrays over the 25 MB/s relay was the dominant cost), padded with
+    the -2 no-op sentinel past each lane's depth.  The partial abs
+    intervals come from the device-resident phase-R emissions; returns
+    per-lane (found, count) for host aggregation by owner.  Pad lanes
+    carry depth -1 (dead from the start)."""
+    W = al.shape[1]
     abs_s = jnp.take(fsd.ravel(), flat_idx, axis=0)
     abs_e = jnp.take(fed.ravel(), flat_idx, axis=0)
     rs, os_ = mem2_resolve(m2, abs_s)
     re, oe = mem2_resolve(m2, abs_e)
-    state = dict(rs=rs, os=os_, re=re, oe=oe,
-                 dead=jnp.zeros(rs.shape, bool))
+    state = dict(rs=rs, os=os_, re=re, oe=oe, dead=lane_depth < 0)
+    alf = al.ravel()
 
-    def body(state, xs):
-        a1, a2 = xs
+    def char_j(j):
+        col = lane_anchor - 1 - j
+        c = jnp.take(alf, lane_own * W + jnp.clip(col, 0, W - 1),
+                     axis=0)
+        return jnp.where((j < lane_depth) & (col >= 0), c, -2)
+
+    def body(state, jp):
+        a1 = char_j(2 * jp)
+        a2 = char_j(2 * jp + 1)
         l2 = a2 >= 0
         # -2 is the PAD sentinel (no-op: a lane whose depth is shorter
         # than the flat stream just coasts); -1 is a genuine illegal
@@ -114,7 +124,7 @@ def _kmer2_left_flat(m2: FusedMem2Index, s2: FusedSearch2Index,
             jnp.maximum(a1, 0) * s2.sigma + jnp.maximum(a2, 0),
             a1 >= 0, l2)
         alive = ~state["dead"]
-        ok1 = alive & ~e1
+        ok1 = alive & ~e1 & ~pad1
         ok2 = ok1 & ~e2
         new = dict(dead=state["dead"]
                    | (alive & ((~pad1 & e1) | (l2 & ~e1 & e2)
@@ -123,7 +133,7 @@ def _kmer2_left_flat(m2: FusedMem2Index, s2: FusedSearch2Index,
             new[kk] = jnp.where(ok2, f, jnp.where(ok1, m, state[kk]))
         return new, None
 
-    state, _ = jax.lax.scan(body, state, (a1s, a2s))
+    state, _ = jax.lax.scan(body, state, jnp.arange(S))
     found = ~state["dead"]
     cnt = (jnp.take(s2.all_p, state["re"], axis=0) + state["oe"]
            - jnp.take(s2.all_p, state["rs"], axis=0) - state["os"] + 1)
@@ -173,53 +183,40 @@ class FusedKmer2CountEngine:
         rchars = np.full((k, Gp), -1, dtype=np.int8)
         cols = anchor[:, None] + np.arange(k)[None, :]
         rchars[:, :G] = al[own[:, None], cols].T
-        lch = None
-        if p > 1:
-            lcols = anchor[:, None] - 1 - np.arange(p - 1)[None, :]
-            ok = lcols >= 0
-            lch = np.where(ok, al[own[:, None], np.maximum(lcols, 0)],
-                           -2).T.astype(np.int8)
-
         alives_d, fsd, fed = _kmer2_right_scan(
             m2, jnp.asarray(rchars).astype(jnp.int32), k)
-        # only the alive flags cross back to the host (bool [k-1, G]);
-        # the partial abs intervals stay device-resident for the
-        # phase-L gather
-        alives = np.asarray(alives_d)[:, :G]
+        al_d = jnp.asarray(al.astype(np.int8)).astype(jnp.int32)
+        # only the relevant alive-flag rows cross back to the host; the
+        # partial abs intervals stay device-resident
+        rows_used = [k - 2 - d for d in range(0, p)]
+        alives = np.asarray(alives_d[jnp.asarray(rows_used)])[:, :G]
 
-        # depth 0: the full-right window at e
-        f0 = alives[-1]
-        d0 = np.asarray(jnp.stack([fsd[-1], fed[-1]]))[:, :G]
-        np.add.at(f_out, own[f0], 1)
-        np.add.at(t_out, own[f0], (d0[1] - d0[0] + 1)[f0])
-
-        if p > 1:
-            # flatten the alive partials of every depth into one lane
-            # set: lane (d, g) extends left d times, then -2 no-ops
-            ds = np.arange(1, p)[:, None]                  # [p-1, 1]
-            rows = k - 2 - ds                              # [p-1, 1]
-            mask = alives[rows[:, 0]] & (ds <= p_eff[None, :] - 1)
-            dd, gg = np.nonzero(mask)                      # depth-1, group
-            if len(dd):
-                M = _pow2(len(dd))
-                flat_idx = np.zeros(M, dtype=np.int32)
-                flat_idx[: len(dd)] = (rows[dd, 0] * Gp + gg)
-                S2 = p - 1 + ((p - 1) & 1)
-                chars = np.full((S2, M), -2, dtype=np.int8)
-                # lane j takes lch[:d_j, g_j]; columns past d_j stay -2
-                depth = dd + 1
-                take = np.arange(p - 1)[:, None] < depth[None, :]
-                chars[: p - 1, : len(dd)] = np.where(
-                    take, lch[:, gg], -2)
-                chars[:, len(dd):] = -1  # pad lanes: first step fails
-                ch_d = jnp.asarray(chars).astype(jnp.int32)
-                found, cnt = _kmer2_left_flat(
-                    m2, self.s2, fsd, fed, jnp.asarray(flat_idx),
-                    ch_d[0::2], ch_d[1::2])
-                found = np.asarray(found)[: len(dd)]
-                cnt = np.asarray(cnt)[: len(dd)]
-                np.add.at(f_out, own[gg][found], 1)
-                np.add.at(t_out, own[gg][found], cnt[found])
+        # flatten depth-0 (the full-right window) and every alive
+        # partial into one lane set
+        ds = np.arange(0, p)[:, None]                      # depth
+        rows = k - 2 - ds
+        mask = alives & (ds <= p_eff[None, :] - 1)
+        mask[0] = alives[0]                                # depth 0
+        dd, gg = np.nonzero(mask)
+        if len(dd):
+            M = _pow2(len(dd))
+            flat_idx = np.zeros(M, dtype=np.int32)
+            flat_idx[: len(dd)] = rows[dd, 0] * Gp + gg
+            lane_own = np.zeros(M, dtype=np.int32)
+            lane_own[: len(dd)] = own[gg]
+            lane_anchor = np.zeros(M, dtype=np.int32)
+            lane_anchor[: len(dd)] = anchor[gg]
+            lane_depth = np.full(M, -1, dtype=np.int32)
+            lane_depth[: len(dd)] = dd
+            S = (p - 1 + 1) // 2 if p > 1 else 1
+            found, cnt = _kmer2_left_flat(
+                m2, self.s2, fsd, fed, al_d,
+                jnp.asarray(lane_own), jnp.asarray(lane_anchor),
+                jnp.asarray(lane_depth), jnp.asarray(flat_idx), S)
+            found = np.asarray(found)[: len(dd)]
+            cnt = np.asarray(cnt)[: len(dd)]
+            np.add.at(f_out, own[gg][found], 1)
+            np.add.at(t_out, own[gg][found], cnt[found])
 
         return [(int(f_out[i]), int(t_out[i]))
                 for i in range(batch.lanes)]

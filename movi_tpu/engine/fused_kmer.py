@@ -263,8 +263,10 @@ class FusedKmerEngine:
         from ..io.fastx import left_aligned_slots
 
         ticks = 2 * W + 64
-        al = jnp.asarray(left_aligned_slots(batch, self.si.alphamap_query,
-                                            fill=-1))
+        # ship int8 over the slow relay link, widen once on device
+        al = jnp.asarray(left_aligned_slots(
+            batch, self.si.alphamap_query,
+            fill=-1).astype(np.int8)).astype(jnp.int32)
         state = make_kmer_state(lanes, W,
                                 jnp.asarray(batch.lengths.astype(np.int32)),
                                 self.k)

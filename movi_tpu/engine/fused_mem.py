@@ -543,7 +543,8 @@ class FusedAllMemEngine:
         amap[ord("#")] = -3
         from ..io.fastx import left_aligned_slots
 
-        al = jnp.asarray(left_aligned_slots(batch, amap))
+        al = jnp.asarray(left_aligned_slots(batch, amap)
+                         .astype(np.int8)).astype(jnp.int32)
         lengths = jnp.asarray(batch.lengths.astype(np.int32))
         z = jnp.zeros((lanes,), jnp.int32)
         # entry = init_bidirectional at s=0 with ml=1, phase RIGHT
@@ -602,7 +603,8 @@ class FusedMemEngine:
         amap[ord("#")] = -3  # '#' complements to itself (never matches)
         from ..io.fastx import left_aligned_slots
 
-        al = jnp.asarray(left_aligned_slots(batch, amap))
+        al = jnp.asarray(left_aligned_slots(batch, amap)
+                         .astype(np.int8)).astype(jnp.int32)
         state = make_mem_state(
             lanes, W, jnp.asarray(batch.lengths.astype(np.int32)), self.L)
         ticks = 4 * W + 64

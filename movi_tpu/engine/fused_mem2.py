@@ -141,20 +141,6 @@ def build_ftab_rows(ix: MoveIndex, fk: int) -> np.ndarray:
                      valid.astype(np.int64)], axis=1).astype(np.int32)
 
 
-def window_codes(al: np.ndarray, fk: int) -> np.ndarray:
-    """codes[i, p] = packed code of al[i, p-fk+1..p]; -1 where the span
-    leaves the read or contains an illegal slot."""
-    lanes, W = al.shape
-    out = np.full((lanes, W), -1, dtype=np.int64)
-    if W >= fk:
-        sw = np.lib.stride_tricks.sliding_window_view(al, fk, axis=1)
-        ok = (sw >= 0).all(axis=2)
-        pw = (4 ** np.arange(fk - 1, -1, -1)).astype(np.int64)
-        codes = (np.maximum(sw, 0) * pw).sum(axis=2)
-        out[:, fk - 1:] = np.where(ok, codes, -1)
-    return out.astype(np.int32)
-
-
 def build_fused_mem2_index(ix: MoveIndex,
                            ftab_k: int = 0) -> FusedMem2Index:
     r, sigma = ix.r, ix.sigma
@@ -323,7 +309,7 @@ def _mem2_scan(m2: FusedMem2Index, alc: jax.Array, state, L: int,
     """BML scan, one combined-table gather per tick.  alc: int32
     [lanes, W] read-order slots (-1 illegal, -3 '#', -2 beyond); with
     use_ftab, [lanes, 2W] -- slots next to per-position ftab codes
-    (window_codes), kept in one array so lane compaction slices both.
+    (_prep_alc), kept in one array so lane compaction slices both.
 
     The ftab anchor (mem_finder.cpp:34-43): INIT gathers the window
     end's fk-mer row from the appended ftab rows (same combined table,

@@ -396,7 +396,7 @@ def revcomp(text: np.ndarray) -> np.ndarray:
 HBM_RC_HALF = int(os.environ.get("BENCH_RC_HALF", HBM_TEXT // 2))
 KMER_K = int(os.environ.get("BENCH_KMER_K", 31))
 MEM_L = int(os.environ.get("BENCH_MEM_L", 20))
-MEM_LANES = int(os.environ.get("BENCH_MEM_LANES", 8192))
+MEM_LANES = int(os.environ.get("BENCH_MEM_LANES", 16384))
 
 
 def load_large_rc_index():
@@ -505,7 +505,7 @@ def measure_native_rc_baselines(ix_rc, reads_mixed, reads_mem, out):
     native_kmer_count(ctx, slots[:nc], k)
     out["baseline_measured_kmer_counts_per_sec"] = round(
         nc * (reads_mixed.shape[1] - k + 1) / (time.time() - t0), 1)
-    nb = min(len(reads_mem), 2000)
+    nb = min(len(reads_mem), 4000)
     slots_m = reads_to_slots(ix_rc, reads_mem[:nb])
     t0 = time.time()
     native_mem_bml(ctx, slots_m, MEM_L)
@@ -572,7 +572,8 @@ def rc_sections(out):
         out["kmer_count_engine_error"] = repr(e)[:200]
 
     try:
-        si_rc = build_fused_search_index(ix_rc)
+        si_rc = build_fused_search_index(ix_rc,
+                                         ftab_k=min(10, k - k // 3))
         batch_kmer = _to_batch(reads_mixed[:MEM_LANES])
         windows = batch_kmer.lanes * (READ_LEN - k + 1)
         dt = _time_query_batch(FusedKmerEngine(si_rc, k), batch_kmer)

@@ -581,8 +581,15 @@ def cmd_query(args):
             from .engine.fused_search import build_fused_search_index
             from .io.fastx import make_batches as _mb
 
-            _log("using the fused kmer engine")
-            eng = FusedKmerEngine(build_fused_search_index(ix), args.k)
+            # ftab anchor rows (gated to the instant-probe-fail bound
+            # fk <= k - k/3; ACGT only)
+            fk = 0
+            if bytes(ix.alphabet) == b"ACGT":
+                fk = min(args.ftab_k or 10, args.k - args.k // 3)
+            _log(f"using the fused kmer engine"
+                 + (f" (ftab-{fk})" if fk > 1 else ""))
+            eng = FusedKmerEngine(
+                build_fused_search_index(ix, ftab_k=fk), args.k)
             lines = []
             for batch in _mb(reads, lanes=args.lanes):
                 out = eng.query_batch(batch)

@@ -28,9 +28,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from .fused_search import (FusedSearchIndex, _char_select,
-                           _emit_add, _init_interval,
-                           _init_interval_oh, fused_bs_step)
+from .fused_search import (_CHAR_ONEHOT_MAX_W, FusedSearchIndex,
+                           _char_select, _emit_add, _init_interval,
+                           _init_interval_oh, _lf_from_rec,
+                           fused_bs_step)
 from ..io.fastx import ReadBatch
 
 
@@ -47,31 +48,53 @@ def make_kmer_state(lanes: int, W: int, lengths: jax.Array, k: int):
     )
 
 
-@partial(jax.jit, static_argnums=(3, 4))
-def _kmer_scan(si: FusedSearchIndex, alphas: jax.Array, state, k: int,
-               ticks: int):
-    """alphas: int32 [lanes, W] in READ order (-1 illegal).  Resumable:
-    returns (state', all_done).
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _kmer_scan(si: FusedSearchIndex, alc: jax.Array, state, k: int,
+               ticks: int, use_ftab: bool = False):
+    """alc: int32 [lanes, W] read-order slots (-1 illegal); with
+    use_ftab, [lanes, 2W] -- slots next to per-position fk-mer codes
+    (fused_mem2._prep_alc).  Resumable: returns (state', all_done).
 
     Look-ahead skipping (sequitur.cpp:322-421; look_ahead_backward_search
     move_structure_search.cpp:354-385): before anchoring a full stretch
     at pos, probe a backward stretch from pos - step (step = k/3); if it
     cannot cover k-1 positions, no k-mer ending in (pos-step-1, pos]
     exists and the machine skips step+1 positions.  On NOT_FOUND-heavy
-    reads (contamination screening) this skips most of the work; the
-    probe is a WORK optimization, not just a CPU latency trick.
-    Emissions are unchanged (skipped regions emit nothing either way).
+    reads (contamination screening) this skips most of the work.
+
+    ftab anchors: with use_ftab, stretch anchors and probe inits gather
+    the position's fk-mer interval from the rows appended to rec_all --
+    the SAME per-tick gather -- jumping fk chars on a hit; an absent
+    fk-mer advances the anchor by one (identical emissions: the
+    ftab-less stretch would die inside the fk span and do the same) or
+    fails the probe instantly (valid because fk <= k - step, so a probe
+    whose fk-suffix is absent can never cover k-1 positions).
+    Emissions are unchanged in every case.
     """
-    lanes, W = alphas.shape
+    r, sigma = si.r, si.sigma
+    FTB = 2 * sigma * r
+    fk = si.ftab_k
+    lanes = alc.shape[0]
+    W = alc.shape[1] // 2 if use_ftab else alc.shape[1]
+    alphas = alc[:, :W]
     lane_iota = jnp.arange(lanes)
     step = k // 3
     max_len = k - step  # probe length budget (ml = 0 without ftab)
 
-    def char_at(pos):
-        # ONE phase-selected [lanes, W] fetch per tick: the one-hot
-        # select is the tick machine's main VPU cost (measured on the
-        # MEM machine: 3 selects -> 1 gave +33%)
-        return _char_select(alphas, lane_iota, pos)
+    def select_at(pos):
+        # ONE phase-selected [lanes, W] one-hot per tick (chars and,
+        # under ftab, codes share the same mask)
+        p = jnp.clip(pos, 0, W - 1)
+        if W <= _CHAR_ONEHOT_MAX_W:
+            oh = p[:, None] == jnp.arange(W, dtype=p.dtype)[None, :]
+            c = jnp.sum(jnp.where(oh, alphas, 0), axis=1)
+            if use_ftab:
+                return c, jnp.sum(jnp.where(oh, alc[:, W:], 0), axis=1)
+            return c, None
+        c = alphas[lane_iota, p]
+        if use_ftab:
+            return c, alc[:, W:][lane_iota, p]
+        return c, None
 
     def tick(state, _):
         phase = state["phase"]
@@ -86,25 +109,20 @@ def _kmer_scan(si: FusedSearchIndex, alphas: jax.Array, state, k: int,
         probing = phase == 3
         pi = probing & (pinit == 1)
 
-        # the single phase-selected char position: anchor char at pos,
-        # probe-init char at pc, probe step at pc-1, stretch step at
-        # cur-1
+        # anchor char at pos, probe-init char at pc, probe step at
+        # pc-1, stretch step at cur-1
         p_sel = jnp.where(in_anchor, pos,
                           jnp.where(probing,
                                     jnp.where(pi, pc, pc - 1), cur - 1))
-        c_sel = char_at(p_sel)
+        c_sel, code_sel = select_at(p_sel)
 
-        # ---- anchoring lanes (phase 0): decide, init, no step ----
+        # ---- anchoring lanes (phase 0): decide; init via the gather
         anchor_illegal = in_anchor & (c_sel < 0)
-        # skip illegal chars: pos -= 1 (query_all_kmers:341-343,417-419)
         pos1 = jnp.where(anchor_illegal, pos - 1, pos)
         legal = in_anchor & (c_sel >= 0) & (pos1 >= k - 1)
         eligible = (legal & (pos1 >= k - 1 + step) & (pok == 0)) \
             if step >= 1 else jnp.zeros_like(legal)
         anchored = legal & ~eligible
-        # probe entry: position only; the probe INIT happens next tick
-        # from the same shared select (look_ahead_backward_search,
-        # move_structure_search.cpp:354-385)
         pc1 = jnp.where(eligible, pos1 - step, pc)
         pinit1 = jnp.where(eligible, 1, pinit)
         phase1 = jnp.where(eligible, 3, jnp.where(anchored, 1, phase))
@@ -112,22 +130,73 @@ def _kmer_scan(si: FusedSearchIndex, alphas: jax.Array, state, k: int,
         cur1 = jnp.where(anchored, pos1, cur)
         phase1 = jnp.where((phase1 == 0) & (pos1 < k - 1), 2, phase1)
 
-        # ---- interval init (tiny-table one-hot): anchor or probe ----
-        do_init = anchored | (pi & (c_sel >= 0))
-        irs, ios, ire, ioe = _init_interval_oh(si, c_sel)
-        rs = jnp.where(do_init, irs, state["rs"])
-        os_ = jnp.where(do_init, ios, state["os"])
-        re = jnp.where(do_init, ire, state["re"])
-        oe = jnp.where(do_init, ioe, state["oe"])
-        pinit1 = jnp.where(pi & (c_sel >= 0), 0, pinit1)
-        pi_fail = pi & (c_sel < 0)  # illegal probe anchor: skip
-
-        # ---- the shared backward step (stretch + probe lanes) ----
+        # ---- the ONE gather: step records, or ftab anchor rows ----
+        rs, os_, re, oe = (state["rs"], state["os"], state["re"],
+                           state["oe"])
         can_step = extending & (cur1 > 0)
         can_pstep = probing & ~pi & (pc1 > 0)
-        nrs, nos, nre, noe, empty = fused_bs_step(
-            si, rs, os_, re, oe,
-            jnp.where(can_step | can_pstep, c_sel, -1))
+        a_gate = jnp.where(can_step | can_pstep, c_sel, -1)
+        a_s = jnp.maximum(a_gate, 0)
+        key_lo = a_s * r + jnp.minimum(jnp.maximum(rs, 0), r - 1)
+        key_hi = (sigma * r + a_s * r
+                  + jnp.minimum(jnp.maximum(re, 0), r - 1))
+        if use_ftab:
+            code_ok = code_sel >= 0
+            ftl = (anchored | pi) & code_ok
+            fkey = FTB + jnp.maximum(code_sel, 0)
+            key_lo = jnp.where(ftl, fkey, key_lo)
+            key_hi = jnp.where(ftl, fkey, key_hi)
+        both = jnp.take(si.rec_all,
+                        jnp.concatenate([key_lo, key_hi]), axis=0)
+        rd, ru = both[:lanes], both[lanes:]
+        drs = rd[:, 0]
+        dre = ru[:, 0]
+        empty = (a_gate < 0) | (drs >= r) | (drs > re)
+        os1 = jnp.where(drs != rs, 0, os_)
+        oe1 = jnp.where(dre != re, ru[:, 3] - 1, oe)
+        nrs, nos = _lf_from_rec(rd, os1)
+        nre, noe = _lf_from_rec(ru, oe1)
+
+        # ---- interval init: ftab row, or single-char one-hot ----
+        irs, ios, ire, ioe = _init_interval_oh(si, c_sel)
+        if use_ftab:
+            f_empty = ~((rd[:, 0] < rd[:, 2])
+                        | ((rd[:, 0] == rd[:, 2])
+                           & (rd[:, 1] <= rd[:, 3])))
+            a_hit = anchored & code_ok & ~f_empty
+            a_miss = anchored & code_ok & f_empty
+            a_plain = anchored & ~code_ok
+            p_hit = pi & code_ok & ~f_empty
+            p_missf = pi & code_ok & f_empty       # probe fails instantly
+            p_plain = pi & ~code_ok & (c_sel >= 0)
+            do_row = a_hit | p_hit
+            do_plain = a_plain | p_plain
+            rs = jnp.where(do_row, rd[:, 0], jnp.where(do_plain, irs, rs))
+            os_ = jnp.where(do_row, rd[:, 1],
+                            jnp.where(do_plain, ios, os_))
+            re = jnp.where(do_row, rd[:, 2], jnp.where(do_plain, ire, re))
+            oe = jnp.where(do_row, rd[:, 3],
+                           jnp.where(do_plain, ioe, oe))
+            # stretch ftab hit jumps the cursor; a miss advances the
+            # anchor by one (the ftab-less stretch would die inside the
+            # span and re-anchor identically)
+            cur1 = jnp.where(a_hit, pos1 - fk + 1, cur1)
+            pos1 = jnp.where(a_miss, pos1 - 1, pos1)
+            phase1 = jnp.where(a_miss,
+                               jnp.where(pos1 >= k - 1, 0, 2), phase1)
+            pc1 = jnp.where(p_hit, pc1 - (fk - 1), pc1)
+            pinit1 = jnp.where(p_hit | p_plain, 0, pinit1)
+            pi_fail = (pi & (c_sel < 0)) | p_missf
+        else:
+            do_init = anchored | (pi & (c_sel >= 0))
+            rs = jnp.where(do_init, irs, rs)
+            os_ = jnp.where(do_init, ios, os_)
+            re = jnp.where(do_init, ire, re)
+            oe = jnp.where(do_init, ioe, oe)
+            pinit1 = jnp.where(pi & (c_sel >= 0), 0, pinit1)
+            pi_fail = pi & (c_sel < 0)
+
+        # ---- commit the shared step ----
         step_ok = can_step & ~empty
         pstep_ok = can_pstep & ~empty
         moved = step_ok | pstep_ok
@@ -263,10 +332,17 @@ class FusedKmerEngine:
         from ..io.fastx import left_aligned_slots
 
         ticks = 2 * W + 64
-        # ship int8 over the slow relay link, widen once on device
-        al = jnp.asarray(left_aligned_slots(
-            batch, self.si.alphamap_query,
-            fill=-1).astype(np.int8)).astype(jnp.int32)
+        # ship int8 over the slow relay link, widen once on device;
+        # ftab anchors apply when the index carries the rows and the
+        # instant-probe-fail bound fk <= k - step holds
+        fk = self.si.ftab_k
+        use_ftab = 1 < fk <= self.k - self.k // 3
+        from .fused_mem2 import _prep_alc
+
+        al = _prep_alc(
+            jnp.asarray(left_aligned_slots(
+                batch, self.si.alphamap_query, fill=-1).astype(np.int8)),
+            fk if use_ftab else 0, use_ftab)
         state = make_kmer_state(lanes, W,
                                 jnp.asarray(batch.lengths.astype(np.int32)),
                                 self.k)
@@ -276,7 +352,8 @@ class FusedKmerEngine:
         from .fused_mem import _resume_compacted
 
         (out_all,) = _resume_compacted(
-            lambda a, st: _kmer_scan(self.si, a, st, self.k, ticks),
+            lambda a, st: _kmer_scan(self.si, a, st, self.k, ticks,
+                                     use_ftab),
             state, al, lanes, W, done_phase=2,
             max_iters=2 * self.k + 8, emit_keys=("out",), label="kmer")
         res = []

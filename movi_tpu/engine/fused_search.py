@@ -40,6 +40,7 @@ _GUARD = 0xFFFF
 class FusedSearchIndex:
     r: int
     sigma: int
+    ftab_k: int
     # both direction tables concatenated: rows [0, sigma*r) are the
     # "down" records (interval start), rows [sigma*r, 2*sigma*r) the
     # "up" records (interval end).  One table so a step's two record
@@ -61,11 +62,16 @@ jax.tree_util.register_dataclass(
     FusedSearchIndex,
     data_fields=["rec_all", "init_rec", "first_runs", "first_offsets",
                  "last_runs", "last_offsets", "all_p", "alphamap_query"],
-    meta_fields=["r", "sigma"],
+    meta_fields=["r", "sigma", "ftab_k"],
 )
 
 
-def build_fused_search_index(ix: MoveIndex) -> FusedSearchIndex:
+def build_fused_search_index(ix: MoveIndex,
+                             ftab_k: int = 0) -> FusedSearchIndex:
+    """With ftab_k > 1, 4^fk anchor rows (the fk-mer's backward-search
+    interval, canonical-empty when absent) are APPENDED to rec_all at
+    row offset 2*sigma*r, so the membership machine's anchor/probe
+    inits ride the same per-tick gather (engine/fused_kmer.py)."""
     r, sigma = ix.r, ix.sigma
     n64 = ix.n_arr.astype(np.int64)
     lf_abs = ix.all_p[ix.id_arr] + ix.offset_arr.astype(np.int64)
@@ -100,9 +106,18 @@ def build_fused_search_index(ix: MoveIndex) -> FusedSearchIndex:
     init_rec = np.stack([ix.first_runs, ix.first_offsets,
                          ix.last_runs, ix.last_offsets],
                         axis=1).astype(np.int32)
+    parts = [records(nds), records(nus)]
+    if ftab_k > 1:
+        from .fused_mem2 import build_ftab_rows
+
+        fr = build_ftab_rows(ix, ftab_k)
+        valid = fr[:, 7] == 1
+        frow = np.where(valid[:, None], fr[:, 0:4],
+                        np.array([[1, 0, 0, 0]], np.int32))
+        parts.append(frow.astype(np.int32))
     return FusedSearchIndex(
-        r=r, sigma=sigma,
-        rec_all=jnp.asarray(np.concatenate([records(nds), records(nus)])),
+        r=r, sigma=sigma, ftab_k=ftab_k,
+        rec_all=jnp.asarray(np.concatenate(parts)),
         init_rec=jnp.asarray(init_rec),
         first_runs=jnp.asarray(ix.first_runs.astype(np.int32)),
         first_offsets=jnp.asarray(ix.first_offsets.astype(np.int32)),

@@ -141,3 +141,34 @@ def test_fused_kmer_probe_random_reads(setup, k):
     got = FusedKmerEngine(si, k).query_batch(batch)
     for i, (name, seq) in enumerate(reads):
         assert got[i] == sc.query_all_kmers(seq, k), name
+
+
+@pytest.mark.parametrize("fk,k", [(4, 9), (6, 15), (6, 9)])
+def test_fused_kmer_ftab_anchor_matches_scalar(setup, fk, k):
+    """ftab-anchored membership == the ftab-less oracle (stretch hit,
+    stretch miss, probe hit, probe instant-fail paths)."""
+    from movi_tpu.build.suffix import build_bwt_runs as _b
+    from movi_tpu.index.structure import build_move_index as _bm
+
+    text, sc, si = setup
+    sif = build_fused_search_index(
+        _bm(_b(text), "regular-thresholds", bound_ff=1), ftab_k=fk)
+    rng = np.random.default_rng(900 + fk * 100 + k)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    reads = []
+    for i in range(24):
+        L = int(rng.integers(k + 2, 90))
+        if i % 2 == 0:
+            seq = rng.choice(bases, size=L)
+        else:
+            s0 = int(rng.integers(0, len(text) - L))
+            seq = text[s0 : s0 + L].copy()
+            half = L // 2
+            seq[half:] = rng.choice(bases, size=L - half)
+        if i % 5 == 0:
+            seq[int(rng.integers(0, L))] = ord("N")
+        reads.append((f"t{i}", np.asarray(seq, np.uint8).tobytes()))
+    batch = next(make_batches(reads, lanes=len(reads)))
+    got = FusedKmerEngine(sif, k).query_batch(batch)
+    for i, (name, seq) in enumerate(reads):
+        assert got[i] == sc.query_all_kmers(seq, k), (name, fk, k)

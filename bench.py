@@ -458,6 +458,17 @@ def _time_query_batch(engine, batch, reps=2):
     return best
 
 
+def _best_of(fn, reps=2):
+    """Fastest of `reps` runs (the CPU baselines drift ~±30% with host
+    load; min is the stable estimator, same policy as the device side)."""
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        fn()
+        best = min(best, time.time() - t0)
+    return best
+
+
 def measure_native_search_baselines(ix, reads, out):
     """Measured single-core count/ZML rates on the same (non-rc) index
     and reads as the device count/ZML sections."""
@@ -467,18 +478,15 @@ def measure_native_search_baselines(ix, reads, out):
 
     if not native_search_available():
         return None
+
     n1 = min(len(reads), 20000)
     slots = reads_to_slots(ix, reads[:n1])
     ctx = NativeSearchCtx(ix)
     bases = slots.size
-    t0 = time.time()
-    native_count_checksum(ctx, slots)
     out["baseline_measured_count_bases_per_sec"] = round(
-        bases / (time.time() - t0), 1)
-    t0 = time.time()
-    native_zml_checksum(ctx, slots)
+        bases / _best_of(lambda: native_count_checksum(ctx, slots)), 1)
     out["baseline_measured_zml_bases_per_sec"] = round(
-        bases / (time.time() - t0), 1)
+        bases / _best_of(lambda: native_zml_checksum(ctx, slots)), 1)
     return ctx
 
 
@@ -496,21 +504,18 @@ def measure_native_rc_baselines(ix_rc, reads_mixed, reads_mem, out):
     nm = min(len(reads_mixed), 20000)
     slots = reads_to_slots(ix_rc, reads_mixed[:nm])
     windows = nm * (reads_mixed.shape[1] - k + 1)
-    t0 = time.time()
-    native_kmer_membership(ctx, slots, k)
     out["baseline_measured_kmer_membership_per_sec"] = round(
-        windows / (time.time() - t0), 1)
+        windows / _best_of(lambda: native_kmer_membership(ctx, slots, k)),
+        1)
     nc = min(len(reads_mixed), 4000)
-    t0 = time.time()
-    native_kmer_count(ctx, slots[:nc], k)
     out["baseline_measured_kmer_counts_per_sec"] = round(
-        nc * (reads_mixed.shape[1] - k + 1) / (time.time() - t0), 1)
+        nc * (reads_mixed.shape[1] - k + 1)
+        / _best_of(lambda: native_kmer_count(ctx, slots[:nc], k)), 1)
     nb = min(len(reads_mem), 4000)
     slots_m = reads_to_slots(ix_rc, reads_mem[:nb])
-    t0 = time.time()
-    native_mem_bml(ctx, slots_m, MEM_L)
     out["baseline_measured_mem_bases_per_sec"] = round(
-        slots_m.size / (time.time() - t0), 1)
+        slots_m.size / _best_of(lambda: native_mem_bml(ctx, slots_m,
+                                                       MEM_L)), 1)
 
 
 def _ratio(out, num_key, den_key, ratio_key):

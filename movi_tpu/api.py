@@ -62,6 +62,7 @@ class Index:
         self._paired_search = None
         self._fused_mem = None
         self._fused_mem2 = None
+        self._kmer_si = None
         self._bounded = None
 
     # ------------------------------------------------------------- build
@@ -319,6 +320,25 @@ class Index:
 
             eng = FusedKmerCountEngine(
                 build_fused_search_index(self.ix), k)
+            out = []
+            for batch in make_batches(reads, lanes=lanes):
+                out.extend(zip(batch.names, eng.query_batch(batch)))
+            return out
+        if jax and not counts and self._is_bounded():
+            # device membership machine (look-ahead probe + ftab anchors
+            # on ACGT indexes)
+            from .engine.fused_kmer import FusedKmerEngine
+            from .engine.fused_search import build_fused_search_index
+
+            fk = 0
+            if bytes(self.ix.alphabet) == b"ACGT":
+                fk = min(10, k - k // 3)
+                if fk <= 1:
+                    fk = 0
+            if self._kmer_si is None or self._kmer_si[0] != fk:
+                self._kmer_si = (fk, build_fused_search_index(
+                    self.ix, ftab_k=fk))
+            eng = FusedKmerEngine(self._kmer_si[1], k)
             out = []
             for batch in make_batches(reads, lanes=lanes):
                 out.extend(zip(batch.names, eng.query_batch(batch)))

@@ -244,12 +244,14 @@ class Index:
         if (jax and ftab_k <= 1 and self._is_bounded()
                 and bytes(self.ix.alphabet) == b"ACGT"):
             if min_mem_length >= 2:
-                # BML runs on the v2 one-gather-per-tick records
+                # BML runs on the v2 one-gather-per-tick records, with
+                # ftab-10 anchors (engine-gated to ftab_k <= L)
                 from .engine.fused_mem2 import (FusedMem2Engine,
                                                 build_fused_mem2_index)
 
                 if self._fused_mem2 is None:
-                    self._fused_mem2 = build_fused_mem2_index(self.ix)
+                    self._fused_mem2 = build_fused_mem2_index(
+                        self.ix, ftab_k=10)
                 eng = FusedMem2Engine(self._fused_mem2, min_mem_length)
             else:
                 from .engine.fused_mem import (FusedAllMemEngine,
@@ -288,7 +290,8 @@ class Index:
                     build_fused_search2_index)
 
                 if self._fused_mem2 is None:
-                    self._fused_mem2 = build_fused_mem2_index(ix)
+                    self._fused_mem2 = build_fused_mem2_index(
+                        ix, ftab_k=10)
                 if self._paired_search is None:
                     s2 = build_fused_search2_index(ix)
                     self._paired_search = (Fused2CountEngine(s2),

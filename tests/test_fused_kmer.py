@@ -172,3 +172,30 @@ def test_fused_kmer_ftab_anchor_matches_scalar(setup, fk, k):
     got = FusedKmerEngine(sif, k).query_batch(batch)
     for i, (name, seq) in enumerate(reads):
         assert got[i] == sc.query_all_kmers(seq, k), (name, fk, k)
+
+
+def test_fused_kmer_long_reads_gather_branch(setup):
+    """W > 512 drives the per-lane-gather select branch (with ftab
+    codes); oracle-exact."""
+    from movi_tpu.build.suffix import build_bwt_runs as _b
+    from movi_tpu.index.structure import build_move_index as _bm
+
+    text, sc, si = setup
+    sif = build_fused_search_index(
+        _bm(_b(text), "regular-thresholds", bound_ff=1), ftab_k=6)
+    rng = np.random.default_rng(77)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    reads = []
+    for i in range(4):
+        L = int(rng.integers(530, 700))
+        if i % 2 == 0:
+            seq = rng.choice(bases, size=L)
+        else:
+            s0 = int(rng.integers(0, len(text) - L))
+            seq = text[s0 : s0 + L].copy()
+        reads.append((f"L{i}", np.asarray(seq, np.uint8).tobytes()))
+    b = next(make_batches(reads, lanes=len(reads)))
+    k = 15
+    got = FusedKmerEngine(sif, k).query_batch(b)
+    for i, (name, seq) in enumerate(reads):
+        assert got[i] == sc.query_all_kmers(seq, k), name

@@ -106,3 +106,23 @@ def test_mem2_ftab_anchor_matches_oracle(setup, fk):
                 got[nm] = r
         for name, seq in reads:
             assert got[name] == adv.query_mems(seq, L), (name, L, fk)
+
+
+def test_mem2_long_reads_gather_branch(setup):
+    """W > 512 drives the per-lane-gather char/emit branch and the
+    carried tick quanta; oracle-exact."""
+    rng, bases, fw, ix, adv, _ = setup
+    m2f = build_fused_mem2_index(ix, ftab_k=6)
+    reads = []
+    for i in range(4):
+        L = int(rng.integers(530, 700))
+        s = int(rng.integers(0, len(fw) - L))
+        seq = fw[s : s + L].copy()
+        e = rng.random(L) < 0.03
+        seq = np.where(e, rng.choice(bases, size=L), seq)
+        reads.append((f"L{i}", seq.tobytes()))
+    eng = FusedMem2Engine(m2f, 15)
+    b = next(make_batches(reads, lanes=len(reads)))
+    got = eng.query_batch(b)
+    for i, (name, seq) in enumerate(reads):
+        assert got[i] == adv.query_mems(seq, 15), name

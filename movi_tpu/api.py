@@ -251,7 +251,7 @@ class Index:
 
                 if self._fused_mem2 is None:
                     self._fused_mem2 = build_fused_mem2_index(
-                        self.ix, ftab_k=10)
+                        self.ix, ftab_k=min(10, min_mem_length))
                 eng = FusedMem2Engine(self._fused_mem2, min_mem_length)
             else:
                 from .engine.fused_mem import (FusedAllMemEngine,
@@ -277,10 +277,10 @@ class Index:
             from .engine.select import use_paired_search
 
             ix = self.ix
-            rc_sym = (bytes(ix.alphabet) == b"ACGT"
-                      and int(ix.counts[0]) == int(ix.counts[3])
-                      and int(ix.counts[1]) == int(ix.counts[2]))
-            if rc_sym and use_paired_search(ix.r, ix.sigma, force=paired):
+            from .engine.fused_mem2 import looks_rc_closed
+
+            if (looks_rc_closed(ix)
+                    and use_paired_search(ix.r, ix.sigma, force=paired)):
                 # bidirectional k/2-cache engine (rc-complete index
                 # detected via count symmetry)
                 from .engine.fused_kmer2 import FusedKmer2CountEngine

@@ -671,11 +671,11 @@ def cmd_query(args):
             from .io.fastx import make_batches as _mb
 
             # the bidirectional k/2-cache engine needs an rc-complete
-            # ACGT index (sequitur.cpp:7-9); rc-closure is detected via
-            # the necessary count symmetry #A == #T, #C == #G
-            rc_sym = (bytes(ix.alphabet) == b"ACGT"
-                      and int(ix.counts[0]) == int(ix.counts[3])
-                      and int(ix.counts[1]) == int(ix.counts[2]))
+            # ACGT index (sequitur.cpp:7-9); detected by checking ALL
+            # 4^6 6-mer counts against their reverse complements'
+            from .engine.fused_mem2 import looks_rc_closed
+
+            rc_sym = looks_rc_closed(ix)
             if rc_sym and use_paired_search(ix.r, ix.sigma,
                                             force=_paired_force(args)):
                 from .engine.fused_kmer2 import FusedKmer2CountEngine

@@ -88,17 +88,12 @@ def build_fused_mem_index(ix: MoveIndex) -> FusedMemIndex:
         "index-reversal)")
     assert int(ix.n_arr[ix.end_bwt_idx]) == 1, (
         "the '$' run must be a single row")
-    n64 = ix.n_arr.astype(np.int64)
-    comp_c = (sigma - 1 - ix.c_arr).astype(np.int64)  # complemented chars
-    skip = np.zeros((sigma, r, 2), dtype=np.int64)
-    for t in range(sigma):
-        u = (comp_c < t).astype(np.int64)
-        u[ix.end_bwt_idx] = 1  # '$' rows always precede (skip += 1)
-        w = u * n64
-        w[ix.end_bwt_idx] = 1
-        P = np.concatenate([[0], np.cumsum(w)[:-1]])
-        skip[t, :, 0] = P
-        skip[t, :, 1] = u
+    # shared skip-table construction (the '$'-row weighing rule is
+    # load-bearing for bit-exactness; one copy only)
+    from ..cpu_ref.native_search import build_skip_tables
+
+    P_tab, U_tab = build_skip_tables(ix)
+    skip = np.stack([P_tab, U_tab.astype(np.int64)], axis=2)
     n = int(ix.all_p[-1])
     pos2rba = None
     if n <= POS2RUN_MAX_N:

@@ -80,13 +80,27 @@ jax.tree_util.register_dataclass(
 )
 
 
-def build_ftab_rows(ix: MoveIndex, fk: int) -> np.ndarray:
+def build_ftab_rows(ix: MoveIndex, fk: int,
+                    rc_merge: bool = True) -> np.ndarray:
     """[4^fk, 8] int32 anchor rows per fk-mer code (kmer_to_number bit
     order, utils.cpp:120-139): (rs, os, re, oe, abs_s, count, rc_abs_s,
     valid).  Built level-by-level with vectorized backward-search steps
     (replaces the reference's per-code loop, move_structure_build.cpp:
-    1121-1171); the rc interval start is the fw row of the
-    reverse-complement code (rc-closed index)."""
+    1121-1171).
+
+    The rc interval start is TRACKED through the levels with the same
+    bidirectional skip recurrence the scalar oracle uses (rc_abs +=
+    skip over the pre-step fw interval), NOT looked up as the
+    reverse-complement code's own interval: on a multi-document
+    no-separator reference the k-mers spanning document junctions have
+    no rc partners, so the true rc interval differs from the oracle's
+    incremental arithmetic by the junction asymmetry -- the anchor must
+    reproduce the ORACLE's state, junctions and all (the reference
+    documents the same caveat, sequitur.cpp:7-9).
+
+    rc_merge is retained for callers that only accept rows whose rc
+    fk-mer also exists; the membership anchors (fw-only) pass False so
+    forward-only indexes keep their rows."""
     r, sigma = ix.r, ix.sigma
     assert sigma == 4
     nu, nd = ix.next_tables_search()
@@ -94,6 +108,9 @@ def build_ftab_rows(ix: MoveIndex, fk: int) -> np.ndarray:
     off_a = ix.offset_arr.astype(np.int64)
     n_a = ix.n_arr.astype(np.int64)
     all_p = ix.all_p
+    from ..cpu_ref.native_search import build_skip_tables
+
+    P_tab, U_tab = build_skip_tables(ix)
 
     def lf(run, off):
         run2 = id_a[run]
@@ -106,9 +123,14 @@ def build_ftab_rows(ix: MoveIndex, fk: int) -> np.ndarray:
     os_ = ix.first_offsets[1:5].astype(np.int64).copy()
     re = ix.last_runs[1:5].astype(np.int64).copy()
     oe = ix.last_offsets[1:5].astype(np.int64).copy()
+    # rc side init: abs of comp(a)'s init interval (init_bidirectional)
+    comp_first = ix.first_runs[1:5][::-1]
+    comp_foff = ix.first_offsets[1:5][::-1]
+    rc_abs = (all_p[np.clip(comp_first, 0, r - 1)]
+              + comp_foff).astype(np.int64)
     valid = np.ones(4, dtype=bool)
     for _level in range(2, fk + 1):
-        rs_t, os_t, re_t, oe_t, v_t = [], [], [], [], []
+        rs_t, os_t, re_t, oe_t, v_t, ra_t = [], [], [], [], [], []
         for a in range(4):
             d = nd[a][np.clip(rs, 0, r - 1)]
             ok = valid & (d < r) & (d <= re)
@@ -118,27 +140,63 @@ def build_ftab_rows(ix: MoveIndex, fk: int) -> np.ndarray:
             o2 = np.where(e2 == re, oe, n_a[e2] - 1)
             nrs, nos = lf(dc, o1)
             nre, noe = lf(e2, o2)
+            # extend_left's rc advance: skip over the PRE-step fw
+            # interval at threshold t = comp(a)
+            t = sigma - 1 - a
+            rsc = np.clip(rs, 0, r - 1)
+            rec = np.clip(re, 0, r - 1)
+            skip = (P_tab[t][rec] + U_tab[t][rec] * (oe + 1)
+                    - P_tab[t][rsc] - U_tab[t][rsc] * os_)
             rs_t.append(np.where(ok, nrs, 1))
             os_t.append(np.where(ok, nos, 0))
             re_t.append(np.where(ok, nre, 0))
             oe_t.append(np.where(ok, noe, 0))
+            ra_t.append(np.where(ok, rc_abs + skip, 0))
             v_t.append(ok)
         rs, os_ = np.concatenate(rs_t), np.concatenate(os_t)
         re, oe = np.concatenate(re_t), np.concatenate(oe_t)
+        rc_abs = np.concatenate(ra_t)
         valid = np.concatenate(v_t)
     fabs = np.where(valid, all_p[np.clip(rs, 0, r - 1)] + os_, 0)
     cnt = np.where(valid,
                    all_p[np.clip(re, 0, r - 1)] + oe - fabs + 1, 0)
+    if rc_merge:
+        codes = np.arange(4 ** fk, dtype=np.int64)
+        rc = np.zeros_like(codes)
+        tmp = codes.copy()
+        for _ in range(fk):
+            rc = (rc << 2) | (3 - (tmp & 3))
+            tmp >>= 2
+        valid = valid & valid[rc]
+    return np.stack([rs, os_, re, oe, fabs, cnt,
+                     np.where(valid, rc_abs, 0),
+                     valid.astype(np.int64)], axis=1).astype(np.int32)
+
+
+def looks_rc_closed(ix: MoveIndex, fk: int = 6) -> bool:
+    """Strong necessary test for reverse-complement closure: per-char
+    counts are symmetric AND every fk-mer's occurrence count equals its
+    reverse complement's (all 4^fk of them, via the vectorized level
+    build).  The bidirectional engines require occ(s) == occ(rc(s)) for
+    every string; a forward-only index -- or one that is merely
+    count-symmetric, e.g. text + complement-without-reversal -- fails
+    this at fk = 6 with overwhelming probability, where the old
+    count-only test silently passed wrong inputs to the bidirectional
+    k-mer counter."""
+    if bytes(ix.alphabet) != b"ACGT":
+        return False
+    c = ix.counts
+    if int(c[0]) != int(c[3]) or int(c[1]) != int(c[2]):
+        return False
+    fr = build_ftab_rows(ix, fk, rc_merge=False)
+    cnt = np.where(fr[:, 7] == 1, fr[:, 5], -1).astype(np.int64)
     codes = np.arange(4 ** fk, dtype=np.int64)
     rc = np.zeros_like(codes)
     tmp = codes.copy()
     for _ in range(fk):
         rc = (rc << 2) | (3 - (tmp & 3))
         tmp >>= 2
-    valid = valid & valid[rc]
-    rc_abs = np.where(valid, fabs[rc], 0)
-    return np.stack([rs, os_, re, oe, fabs, cnt, rc_abs,
-                     valid.astype(np.int64)], axis=1).astype(np.int32)
+    return bool((cnt == cnt[rc]).all())
 
 
 def build_fused_mem2_index(ix: MoveIndex,
@@ -160,17 +218,11 @@ def build_fused_mem2_index(ix: MoveIndex,
 
     nus, nds = ix.next_tables_search()
     # bidirectional skip weights per threshold t (= comp of the record's
-    # char): u = comp(char(run)) < t, '$' rows weigh 1
-    comp_c = (sigma - 1 - ix.c_arr).astype(np.int64)
-    P_tab = np.zeros((sigma, r), dtype=np.int64)
-    U_tab = np.zeros((sigma, r), dtype=np.int64)
-    for t in range(sigma):
-        u = (comp_c < t).astype(np.int64)
-        u[ix.end_bwt_idx] = 1
-        w = u * n64
-        w[ix.end_bwt_idx] = 1
-        P_tab[t] = np.concatenate([[0], np.cumsum(w)[:-1]])
-        U_tab[t] = u
+    # char): shared construction (cpu_ref/native_search.build_skip_tables
+    # -- the '$'-row weighing rule is load-bearing, one copy only)
+    from ..cpu_ref.native_search import build_skip_tables
+
+    P_tab, U_tab = build_skip_tables(ix)
 
     def records(dest_tab):
         rec = np.zeros((sigma, r, 8), dtype=np.int64)

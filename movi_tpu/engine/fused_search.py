@@ -110,7 +110,7 @@ def build_fused_search_index(ix: MoveIndex,
     if ftab_k > 1:
         from .fused_mem2 import build_ftab_rows
 
-        fr = build_ftab_rows(ix, ftab_k)
+        fr = build_ftab_rows(ix, ftab_k, rc_merge=False)
         valid = fr[:, 7] == 1
         frow = np.where(valid[:, None], fr[:, 0:4],
                         np.array([[1, 0, 0, 0]], np.int32))

@@ -85,12 +85,7 @@ def sharded_fused_pml(mesh: Mesh, fi: FusedIndex, alphas_t: np.ndarray):
     return run(records_d, alphas_d)
 
 
-def _lf_from_rec(rec, offset):
-    f2 = rec[:, 2]
-    off0 = (f2 >> 16) + offset
-    cum1 = f2 & 0xFFFF
-    ff = (off0 >= cum1).astype(jnp.int32)
-    return rec[:, 1] + ff, off0 - ff * cum1
+from ..engine.fused_search import _lf_from_rec  # noqa: E402
 
 
 def _sharded_search_scan(mesh: Mesh, si, alphas_t: np.ndarray, kind: str):

@@ -199,3 +199,28 @@ def test_fused_kmer_long_reads_gather_branch(setup):
     got = FusedKmerEngine(sif, k).query_batch(b)
     for i, (name, seq) in enumerate(reads):
         assert got[i] == sc.query_all_kmers(seq, k), name
+
+
+def test_fused_kmer_ftab_forward_only_index():
+    """Regression: ftab anchor rows must use fw-only validity -- on a
+    forward-only (non-rc) index every membership anchor previously hit
+    a falsely-empty row and reported zero found k-mers."""
+    from movi_tpu.build.suffix import build_bwt_runs as _b
+    from movi_tpu.cpu_ref.advanced import AdvancedEngine as _A
+    from movi_tpu.index.structure import build_move_index as _bm
+
+    rng = np.random.default_rng(31)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    fw = rng.choice(bases, size=2500)
+    ix = _bm(_b(fw), "regular-thresholds", bound_ff=1)
+    sc = _A(ix)
+    sif = build_fused_search_index(ix, ftab_k=6)
+    reads = []
+    for i in range(12):
+        s0 = int(rng.integers(0, len(fw) - 60))
+        reads.append((f"r{i}", fw[s0 : s0 + 60].tobytes()))
+    b = next(make_batches(reads, lanes=len(reads)))
+    got = FusedKmerEngine(sif, 11).query_batch(b)
+    assert any(got[i] for i in range(len(reads)))  # not all empty
+    for i, (name, seq) in enumerate(reads):
+        assert got[i] == sc.query_all_kmers(seq, 11), name

@@ -91,3 +91,29 @@ def test_kmer2_matches_paired_engine(setup):
     batch = next(make_batches(reads, lanes=len(reads)))
     assert (FusedKmer2CountEngine(m2, s2, k).query_batch(batch)
             == Fused2KmerCountEngine(s2, k).query_batch(batch))
+
+
+def test_looks_rc_closed_rejects_count_symmetric_non_rc():
+    """Regression: count symmetry (#A==#T, #C==#G) is not rc-closure.
+    A complement-without-reversal text is count-symmetric but must NOT
+    be routed to the bidirectional engine (it silently produced wrong
+    counts there)."""
+    from movi_tpu.build.suffix import build_bwt_runs as _b
+    from movi_tpu.engine.fused_mem2 import looks_rc_closed
+    from movi_tpu.index.structure import build_move_index as _bm
+
+    rng = np.random.default_rng(41)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    fw = rng.choice(bases, size=2000)
+    comp = np.zeros(256, np.uint8)
+    for a, b2 in zip(b"ACGT", b"TGCA"):
+        comp[a] = b2
+    ix_bad = _bm(_b(np.concatenate([fw, comp[fw]])),
+                 "regular-thresholds", bound_ff=1)
+    assert int(ix_bad.counts[0]) == int(ix_bad.counts[3])  # symmetric...
+    assert not looks_rc_closed(ix_bad)                     # ...but caught
+    ix_ok = _bm(_b(np.concatenate([fw, comp[fw][::-1]])),
+                "regular-thresholds", bound_ff=1)
+    assert looks_rc_closed(ix_ok)
+    ix_fwo = _bm(_b(fw), "regular-thresholds", bound_ff=1)
+    assert not looks_rc_closed(ix_fwo)

@@ -126,3 +126,38 @@ def test_mem2_long_reads_gather_branch(setup):
     got = eng.query_batch(b)
     for i, (name, seq) in enumerate(reads):
         assert got[i] == adv.query_mems(seq, 15), name
+
+
+def test_mem2_ftab_multidoc_junctions():
+    """Regression: on a multi-document no-separator reference, k-mers
+    spanning document junctions have no rc partners; the ftab anchor's
+    rc side must reproduce the ORACLE's incremental arithmetic (tracked
+    rc_abs), not the rc code's own interval -- the old lookup produced
+    over-extended MEMs (e.g. (0,63) for a true (0,5)+(1,63))."""
+    rng = np.random.default_rng(82)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    docs = [rng.choice(bases, size=800) for _ in range(3)]
+    comp = np.zeros(256, np.uint8)
+    for a, b2 in zip(b"ACGT", b"TGCA"):
+        comp[a] = b2
+    parts = []
+    for d in docs:
+        parts += [d, comp[d][::-1]]     # per-doc rc, junctions between
+    text = np.concatenate(parts)
+    ix = build_move_index(build_bwt_runs(text), "regular-thresholds",
+                          bound_ff=1)
+    adv = AdvancedEngine(ix, ftab_k=0)
+    reads = []
+    for i in range(15):
+        d = docs[int(rng.integers(0, 3))]
+        L = int(rng.integers(40, 100))
+        s = int(rng.integers(0, len(d) - L))
+        reads.append((f"j{i}", d[s : s + L].tobytes()))
+    for fk in (4, 5, 10):
+        m2f = build_fused_mem2_index(ix, ftab_k=fk)
+        for L in (5, 12):
+            eng = FusedMem2Engine(m2f, L)
+            b = next(make_batches(reads, lanes=len(reads)))
+            got = eng.query_batch(b)
+            for i, (name, seq) in enumerate(reads):
+                assert got[i] == adv.query_mems(seq, L), (name, fk, L)

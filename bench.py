@@ -680,6 +680,12 @@ def main():
                                                    REPS_HBM)
                 out["hbm_color_paired_bases_per_sec"] = round(
                     color_rate, 1)
+                # conservative denominator: the PML loop (the CPU's
+                # color query does strictly more work per base)
+                if "baseline_measured_bases_per_sec" in out:
+                    out["vs_baseline_color"] = round(
+                        color_rate
+                        / out["baseline_measured_bases_per_sec"], 3)
                 del f2c
                 gc.collect()
             except Exception as e:  # pragma: no cover
@@ -724,6 +730,19 @@ def main():
             rc_sections(out)
         except Exception as e:  # pragma: no cover
             out["rc_error"] = repr(e)[:200]
+
+    if os.environ.get("BENCH_LONGREAD", "1") != "0":
+        # long-read regime: 1,500 b reads through the chunked
+        # carried-state scan (SCAN_CHUNK) on the one-step records
+        try:
+            reads_long = make_reads(
+                np.random.default_rng(0).choice(
+                    np.frombuffer(b"ACGT", np.uint8), size=HBM_TEXT),
+                4096, 1500, seed=43)
+            out["hbm_longread_pml_bases_per_sec"] = round(
+                tpu_rate(fi_hbm, reads_long, max(REPS_HBM // 2, 1)), 1)
+        except Exception as e:  # pragma: no cover
+            out["longread_error"] = repr(e)[:200]
 
     fi_small, text_small = build_small()
     reads_small = make_reads(text_small, LANES, READ_LEN, seed=42)

@@ -254,12 +254,13 @@ class Index:
                         self.ix, ftab_k=min(10, min_mem_length))
                 eng = FusedMem2Engine(self._fused_mem2, min_mem_length)
             else:
-                from .engine.fused_mem import (FusedAllMemEngine,
-                                               build_fused_mem_index)
+                from .engine.fused_mem2 import (FusedAllMem2Engine,
+                                                build_fused_mem2_index)
 
-                if self._fused_mem is None:
-                    self._fused_mem = build_fused_mem_index(self.ix)
-                eng = FusedAllMemEngine(self._fused_mem)
+                if self._fused_mem2 is None:
+                    self._fused_mem2 = build_fused_mem2_index(
+                        self.ix, ftab_k=10)
+                eng = FusedAllMem2Engine(self._fused_mem2)
             out = []
             for batch in make_batches(reads, lanes=lanes):
                 out.extend(zip(batch.names, eng.query_batch(batch)))

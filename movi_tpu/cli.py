@@ -638,11 +638,11 @@ def cmd_query(args):
                     build_fused_mem2_index(ix, ftab_k=fk),
                     args.min_mem_length)
             else:
-                from .engine.fused_mem import (FusedAllMemEngine,
-                                               build_fused_mem_index)
+                from .engine.fused_mem2 import (FusedAllMem2Engine,
+                                                build_fused_mem2_index)
 
-                _log("using the fused MEM engine")
-                eng = FusedAllMemEngine(build_fused_mem_index(ix))
+                _log("using the fused all-MEMs engine (v2)")
+                eng = FusedAllMem2Engine(build_fused_mem2_index(ix))
             lines = []
             for batch in _mb(reads, lanes=args.lanes):
                 for name, mems in zip(batch.names, eng.query_batch(batch)):

@@ -71,12 +71,16 @@ class FusedMem2Index:
     init_rec6: jax.Array     # int32 [sigma+2, 6]
     alphamap_query: np.ndarray
     ftab_k: int = 0
+    # abs position of the canonical empty interval's start (run 1,
+    # offset 0) = all_p[1]: the oracle's bidirectional arithmetic keeps
+    # advancing an "empty" fw side from its true absolute coordinates
+    p1: int = 1
 
 
 jax.tree_util.register_dataclass(
     FusedMem2Index,
     data_fields=["rec_all", "init_rec6", "alphamap_query"],
-    meta_fields=["r", "sigma", "n", "ftab_k"],
+    meta_fields=["r", "sigma", "n", "ftab_k", "p1"],
 )
 
 
@@ -266,7 +270,8 @@ def build_fused_mem2_index(ix: MoveIndex,
         r=r, sigma=sigma, n=n_total,
         rec_all=jnp.asarray(rec_all),
         init_rec6=jnp.asarray(init6.astype(np.int32)),
-        alphamap_query=alphamap_query, ftab_k=ftab_k)
+        alphamap_query=alphamap_query, ftab_k=ftab_k,
+        p1=int(ix.all_p[1]))
 
 
 def _init6(m2: FusedMem2Index, a):
@@ -634,6 +639,243 @@ class FusedMem2Engine:
             lambda a, st: _mem2_scan(self.m2, a, st, self.L, ticks,
                                      use_ftab),
             state, al, lanes, W, DONE, max_iters=W, label="MEM2")
+        res = []
+        for i in range(lanes):
+            nz = np.flatnonzero(ends[i])
+            res.append([(int(p), int(ends[i][p]), int(counts[i][p]))
+                        for p in nz])
+        return res
+
+
+# all-MEMs phases (query_all_mems, mem_finder.cpp:105-145)
+AM2_RIGHT, AM2_LEFT, AM2_RES, AM2_DONE = 0, 1, 2, 3
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _all_mem2_scan(m2: FusedMem2Index, alphas: jax.Array, ticks: int,
+                   state):
+    """query_all_mems on the v2 records: right-extend to maximality,
+    emit, re-anchor by left-extending from the MEM end.  One combined-
+    table gather and one [lanes, W] select per tick: the direction being
+    STEPPED keeps (run, offset) -- its abs falls out of the record
+    decode -- while the companion side is carried purely in ABSOLUTE
+    coordinates via the embedded skip fields, resolved in one RES tick
+    when the direction flips back to RIGHT (re-anchors reset both sides
+    from the init tables, so LEFT entry needs no resolve)."""
+    sigma, r = m2.sigma, m2.r
+    P2R = 2 * sigma * r
+    lanes, W = alphas.shape
+    lane_iota = jnp.arange(lanes)
+    m = jnp.sum(alphas > -2, axis=1).astype(jnp.int32)
+
+    def char_at(p):
+        return _char_select(alphas, lane_iota, p)
+
+    def init_pair6(c0):
+        """init_bidirectional at a char: fw from c0 (canonical empty
+        when illegal), rc from its complement (unknown-but-'#'
+        complements to 'A', utils.cpp:87-91); both with abs."""
+        i_f = _init6(m2, c0)
+        legal = c0 >= 0
+        fw = (jnp.where(legal, i_f[0], 1), jnp.where(legal, i_f[1], 0),
+              jnp.where(legal, i_f[2], 0), jnp.where(legal, i_f[3], 0),
+              jnp.where(legal, i_f[4], m2.p1),
+              jnp.where(legal, i_f[5], 0))
+        c0r = jnp.where(legal, sigma - 1 - c0,
+                        jnp.where(c0 == -1, 0, -1))
+        i_r = _init6(m2, c0r)
+        rlegal = c0r >= 0
+        rc = (jnp.where(rlegal, i_r[0], 1), jnp.where(rlegal, i_r[1], 0),
+              jnp.where(rlegal, i_r[2], 0), jnp.where(rlegal, i_r[3], 0),
+              jnp.where(rlegal, i_r[4], m2.p1),
+              jnp.where(rlegal, i_r[5], 0))
+        return fw, rc
+
+    def tick(state, _):
+        phase = state["phase"]
+        s, ml, e = state["s"], state["ml"], state["e"]
+        frs, fos, fre, foe = (state["frs"], state["fos"], state["fre"],
+                              state["foe"])
+        fas, fae = state["fas"], state["fae"]
+        rrs, ros, rre, roe = (state["rrs"], state["ros"], state["rre"],
+                              state["roe"])
+        ras, rae = state["ras"], state["rae"]
+
+        in_right = phase == AM2_RIGHT
+        in_left = phase == AM2_LEFT
+        in_res = phase == AM2_RES
+
+        # one select: RIGHT char at s+ml, LEFT char at e-ml
+        p_sel = jnp.where(in_right, s + ml, e - ml)
+        c_raw = char_at(p_sel)
+        a_right = jnp.where(c_raw >= 0, sigma - 1 - c_raw,
+                            jnp.where(c_raw == -1, 0, -1))
+        right_in_range = in_right & (s + ml < m)
+        left_in_range = in_left & (e - ml >= 0)
+        a = jnp.where(in_right,
+                      jnp.where(right_in_range, a_right, -1),
+                      jnp.where(left_in_range, c_raw, -1))
+        a_s = jnp.maximum(a, 0)
+
+        iv_rs = jnp.where(in_right, rrs, frs)
+        iv_os = jnp.where(in_right, ros, fos)
+        iv_re = jnp.where(in_right, rre, fre)
+        iv_oe = jnp.where(in_right, roe, foe)
+        # RES uses the CARRIED rae, not ras + (fae - fas): after an
+        # illegal-char re-anchor the fw side is the canonical empty
+        # interval, so the count(fw) == count(rc) sync does not hold
+        key_lo = jnp.where(
+            in_res, P2R + jnp.clip(ras, 0, m2.n - 1),
+            a_s * r + jnp.minimum(jnp.maximum(iv_rs, 0), r - 1))
+        key_hi = jnp.where(
+            in_res, P2R + jnp.clip(rae, 0, m2.n - 1),
+            sigma * r + a_s * r + jnp.minimum(jnp.maximum(iv_re, 0),
+                                              r - 1))
+        both = jnp.take(m2.rec_all,
+                        jnp.concatenate([key_lo, key_hi]), axis=0)
+        lo, hi = both[:lanes], both[lanes:]
+        drs = lo[:, 0]
+        dre = hi[:, 0]
+        empty = (a < 0) | (drs >= r) | (drs > iv_re)
+        os1 = jnp.where(drs != iv_rs, 0, iv_os)
+        oe1 = jnp.where(dre != iv_re, hi[:, 3] - 1, iv_oe)
+        nrs, nos, nas = _decode_lf(lo, os1)
+        nre, noe, nae = _decode_lf(hi, oe1)
+        skip = (hi[:, 5] + hi[:, 6] * (iv_oe + 1)
+                - lo[:, 5] - lo[:, 6] * iv_os)
+        ok = (in_right | in_left) & ~empty
+
+        right_ok = in_right & ok
+        left_ok = in_left & ok
+        # stepped side takes the decode; companion side advances in abs
+        rrs2 = jnp.where(right_ok, nrs, rrs)
+        ros2 = jnp.where(right_ok, nos, ros)
+        rre2 = jnp.where(right_ok, nre, rre)
+        roe2 = jnp.where(right_ok, noe, roe)
+        ras2 = jnp.where(right_ok, nas, jnp.where(left_ok, ras + skip,
+                                                  ras))
+        rae2 = jnp.where(right_ok, nae, rae)
+        frs2 = jnp.where(left_ok, nrs, frs)
+        fos2 = jnp.where(left_ok, nos, fos)
+        fre2 = jnp.where(left_ok, nre, fre)
+        foe2 = jnp.where(left_ok, noe, foe)
+        fas2 = jnp.where(left_ok, nas, jnp.where(right_ok, fas + skip,
+                                                 fas))
+        fae2 = jnp.where(left_ok, nae,
+                         jnp.where(right_ok, fas + skip + (nae - nas),
+                                   fae))
+        # keep the companion count in sync after a LEFT step too
+        rae2 = jnp.where(left_ok, ras2 + (nae - nas), rae2)
+        ml2 = jnp.where(right_ok | left_ok, ml + 1, ml)
+
+        # RIGHT termination: emit (s, s+ml, count(fw)) at index s
+        right_stop = in_right & ~ok
+        mem_cnt = fae - fas + 1
+        ends = _emit_add(state["ends"], lane_iota, s,
+                         jnp.where(right_stop, s + ml, 0))
+        counts = _emit_add(state["counts"], lane_iota, s,
+                           jnp.where(right_stop, mem_cnt, 0))
+        e2 = jnp.where(right_stop, s + ml, e)
+        at_end = right_stop & (s + ml >= m)
+        phase2 = jnp.where(at_end, AM2_DONE, phase)
+        # re-anchor: init at e, ml = 1, left-extend
+        reanchor = right_stop & ~at_end
+        c_e = char_at(e2)
+        ifw, irc = init_pair6(c_e)
+        frs2 = jnp.where(reanchor, ifw[0], frs2)
+        fos2 = jnp.where(reanchor, ifw[1], fos2)
+        fre2 = jnp.where(reanchor, ifw[2], fre2)
+        foe2 = jnp.where(reanchor, ifw[3], foe2)
+        fas2 = jnp.where(reanchor, ifw[4], fas2)
+        fae2 = jnp.where(reanchor, ifw[5], fae2)
+        rrs2 = jnp.where(reanchor, irc[0], rrs2)
+        ros2 = jnp.where(reanchor, irc[1], ros2)
+        rre2 = jnp.where(reanchor, irc[2], rre2)
+        roe2 = jnp.where(reanchor, irc[3], roe2)
+        ras2 = jnp.where(reanchor, irc[4], ras2)
+        rae2 = jnp.where(reanchor, irc[5], rae2)
+        ml2 = jnp.where(reanchor, 1, ml2)
+        phase2 = jnp.where(reanchor, AM2_LEFT, phase2)
+
+        # LEFT termination: s = e - ml + 1, resolve rc, back to RIGHT
+        left_stop = in_left & ~ok
+        s2 = jnp.where(left_stop, e - ml + 1, s)
+        phase2 = jnp.where(left_stop, AM2_RES, phase2)
+
+        # RES: rc abs -> (run, offset), then RIGHT
+        rrs2 = jnp.where(in_res, lo[:, 0], rrs2)
+        ros2 = jnp.where(in_res, ras - lo[:, 1], ros2)
+        rre2 = jnp.where(in_res, hi[:, 0], rre2)
+        roe2 = jnp.where(in_res, rae - hi[:, 1], roe2)
+        phase2 = jnp.where(in_res, AM2_RIGHT, phase2)
+
+        new_state = dict(phase=phase2, s=s2, ml=ml2, e=e2,
+                         frs=frs2, fos=fos2, fre=fre2, foe=foe2,
+                         fas=fas2, fae=fae2,
+                         rrs=rrs2, ros=ros2, rre=rre2, roe=roe2,
+                         ras=ras2, rae=rae2,
+                         ends=ends, counts=counts)
+        return new_state, None
+
+    state, _ = jax.lax.scan(tick, state, None, length=ticks)
+    return state, jnp.all(state["phase"] == AM2_DONE)
+
+
+class FusedAllMem2Engine:
+    """Batched device all-MEMs (min_mem_length <= 1) on the v2
+    one-gather-per-tick records.  Results identical to
+    AdvancedEngine.query_all_mems with ftab_k=0."""
+
+    def __init__(self, m2: FusedMem2Index):
+        self.m2 = m2
+
+    def query_batch(self, batch: ReadBatch):
+        from .fused_mem import _resume_compacted
+        from ..io.fastx import left_aligned_slots
+
+        m2 = self.m2
+        W, lanes = batch.width, batch.lanes
+        amap = m2.alphamap_query.copy()
+        amap[ord("#")] = -3
+        al = _prep_alc(jnp.asarray(left_aligned_slots(batch, amap)
+                                   .astype(np.int8)), 0, False)
+        lengths = jnp.asarray(batch.lengths.astype(np.int32))
+
+        def make_state():
+            z = jnp.zeros((lanes,), jnp.int32)
+            c0 = al[:, 0]
+            sigma = m2.sigma
+            i_f = _init6(m2, c0)
+            legal = c0 >= 0
+            c0r = jnp.where(legal, sigma - 1 - c0,
+                            jnp.where(c0 == -1, 0, -1))
+            i_r = _init6(m2, c0r)
+            rlegal = c0r >= 0
+            return dict(
+                phase=jnp.where(lengths > 0, AM2_RIGHT, AM2_DONE
+                                ).astype(jnp.int32),
+                s=z, ml=jnp.ones((lanes,), jnp.int32), e=z,
+                frs=jnp.where(legal, i_f[0], 1).astype(jnp.int32),
+                fos=jnp.where(legal, i_f[1], 0).astype(jnp.int32),
+                fre=jnp.where(legal, i_f[2], 0).astype(jnp.int32),
+                foe=jnp.where(legal, i_f[3], 0).astype(jnp.int32),
+                fas=jnp.where(legal, i_f[4], m2.p1).astype(jnp.int32),
+                fae=jnp.where(legal, i_f[5], 0).astype(jnp.int32),
+                rrs=jnp.where(rlegal, i_r[0], 1).astype(jnp.int32),
+                ros=jnp.where(rlegal, i_r[1], 0).astype(jnp.int32),
+                rre=jnp.where(rlegal, i_r[2], 0).astype(jnp.int32),
+                roe=jnp.where(rlegal, i_r[3], 0).astype(jnp.int32),
+                ras=jnp.where(rlegal, i_r[4], m2.p1).astype(jnp.int32),
+                rae=jnp.where(rlegal, i_r[5], 0).astype(jnp.int32),
+                ends=jnp.zeros((lanes, W), jnp.int32),
+                counts=jnp.zeros((lanes, W), jnp.int32),
+            )
+
+        state = jax.jit(make_state)()
+        ticks = 4 * W + 64
+        ends, counts = _resume_compacted(
+            lambda a, st: _all_mem2_scan(m2, a, ticks, st),
+            state, al, lanes, W, AM2_DONE, max_iters=W, label="allMEM2")
         res = []
         for i in range(lanes):
             nz = np.flatnonzero(ends[i])

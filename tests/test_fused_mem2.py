@@ -161,3 +161,24 @@ def test_mem2_ftab_multidoc_junctions():
             got = eng.query_batch(b)
             for i, (name, seq) in enumerate(reads):
                 assert got[i] == adv.query_mems(seq, L), (name, fk, L)
+
+
+def test_all_mem2_matches_oracle(setup):
+    """FusedAllMem2Engine == query_all_mems (mem_finder.cpp:105-145),
+    including N-containing and edge reads, and == the v1 machine."""
+    from movi_tpu.engine.fused_mem import (FusedAllMemEngine,
+                                           build_fused_mem_index)
+    from movi_tpu.engine.fused_mem2 import FusedAllMem2Engine
+
+    rng, bases, fw, ix, adv, m2 = setup
+    reads = _reads(rng, bases, fw, 25, with_n=True, prefix="am")
+    reads += [("short", b"ACG"), ("one", b"A"), ("allN", b"N" * 12)]
+    eng2 = FusedAllMem2Engine(m2)
+    eng1 = FusedAllMemEngine(build_fused_mem_index(ix))
+    for b in make_batches(reads, lanes=len(reads)):
+        got2 = eng2.query_batch(b)
+        got1 = eng1.query_batch(b)
+        for i, (name, seq) in enumerate(reads):
+            want = adv.query_all_mems(seq)
+            assert got2[i] == want, name
+            assert got1[i] == want, name

@@ -732,8 +732,11 @@ def main():
             out["rc_error"] = repr(e)[:200]
 
     if os.environ.get("BENCH_LONGREAD", "1") != "0":
-        # long-read regime: 1,500 b reads through the chunked
-        # carried-state scan (SCAN_CHUNK) on the one-step records
+        # long-read regime: 1,500 b reads in one fused PML scan (the
+        # CLI's chunked SCAN_CHUNK paths are exercised by the dryrun's
+        # long-read lanes; this measures the raw long-scan rate).  The
+        # text expression must match build_large's generator exactly so
+        # the reads stay drawn from the indexed text.
         try:
             reads_long = make_reads(
                 np.random.default_rng(0).choice(

@@ -243,7 +243,20 @@ class Index:
         reads = _as_reads(reads)
         if (jax and ftab_k <= 1 and self._is_bounded()
                 and bytes(self.ix.alphabet) == b"ACGT"):
-            if min_mem_length >= 2:
+            from .engine.fused_mem2 import mem2_supported
+
+            if not mem2_supported(self.ix):
+                # large-n fallback: the v1 machines cap/skip pos2rba
+                from .engine.fused_mem import (FusedAllMemEngine,
+                                               FusedMemEngine,
+                                               build_fused_mem_index)
+
+                if self._fused_mem is None:
+                    self._fused_mem = build_fused_mem_index(self.ix)
+                eng = (FusedMemEngine(self._fused_mem, min_mem_length)
+                       if min_mem_length >= 2
+                       else FusedAllMemEngine(self._fused_mem))
+            elif min_mem_length >= 2:
                 # BML runs on the v2 one-gather-per-tick records, with
                 # ftab-10 anchors (engine-gated to ftab_k <= L)
                 from .engine.fused_mem2 import (FusedMem2Engine,
@@ -251,7 +264,7 @@ class Index:
 
                 if self._fused_mem2 is None:
                     self._fused_mem2 = build_fused_mem2_index(
-                        self.ix, ftab_k=min(10, min_mem_length))
+                        self.ix, ftab_k=10)
                 eng = FusedMem2Engine(self._fused_mem2, min_mem_length)
             else:
                 from .engine.fused_mem2 import (FusedAllMem2Engine,

@@ -625,7 +625,20 @@ def cmd_query(args):
             from .io.fastx import make_batches as _mb
             from .io.outputs import mem_lines
 
-            if args.min_mem_length >= 2:
+            from .engine.fused_mem2 import mem2_supported
+
+            if not mem2_supported(ix):
+                # large-n fallback: the v1 machines cap/skip pos2rba
+                from .engine.fused_mem import (FusedAllMemEngine,
+                                               FusedMemEngine,
+                                               build_fused_mem_index)
+
+                _log("using the fused MEM engine (v1, large-n)")
+                mi = build_fused_mem_index(ix)
+                eng = (FusedMemEngine(mi, args.min_mem_length)
+                       if args.min_mem_length >= 2
+                       else FusedAllMemEngine(mi))
+            elif args.min_mem_length >= 2:
                 # BML runs on the v2 one-gather-per-tick records, with
                 # an ftab anchor jumping the first fk BACK steps
                 # (mem_finder.cpp:34-43); --ftab-k overrides the width

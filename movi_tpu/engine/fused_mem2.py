@@ -177,6 +177,19 @@ def build_ftab_rows(ix: MoveIndex, fk: int,
                      valid.astype(np.int64)], axis=1).astype(np.int32)
 
 
+# past this total-position count the 32 B/position combined table is
+# too large for one chip; callers fall back to the v1 machines (whose
+# pos2rba is optional with a searchsorted fallback)
+MEM2_MAX_N = 1 << 28
+
+
+def mem2_supported(ix: MoveIndex) -> bool:
+    """True when the v2 combined table fits: ACGT alphabet and
+    n <= MEM2_MAX_N (the v1 engines remain the large-n fallback)."""
+    return (bytes(ix.alphabet) == b"ACGT"
+            and int(ix.all_p[-1]) <= MEM2_MAX_N)
+
+
 def looks_rc_closed(ix: MoveIndex, fk: int = 6) -> bool:
     """Strong necessary test for reverse-complement closure: per-char
     counts are symmetric AND every fk-mer's occurrence count equals its
@@ -647,6 +660,30 @@ class FusedMem2Engine:
         return res
 
 
+def _init_pair6(m2: FusedMem2Index, c0):
+    """init_bidirectional at a char: fw from c0 (canonical empty when
+    illegal -- abs form (all_p[1], 0)), rc from its complement
+    (unknown-but-'#' complements to 'A', utils.cpp:87-91); both with
+    abs.  ONE copy of these oracle-dictated subtleties, shared by the
+    all-MEMs scan body and its entry state."""
+    sigma = m2.sigma
+    i_f = _init6(m2, c0)
+    legal = c0 >= 0
+    fw = (jnp.where(legal, i_f[0], 1), jnp.where(legal, i_f[1], 0),
+          jnp.where(legal, i_f[2], 0), jnp.where(legal, i_f[3], 0),
+          jnp.where(legal, i_f[4], m2.p1),
+          jnp.where(legal, i_f[5], 0))
+    c0r = jnp.where(legal, sigma - 1 - c0,
+                    jnp.where(c0 == -1, 0, -1))
+    i_r = _init6(m2, c0r)
+    rlegal = c0r >= 0
+    rc = (jnp.where(rlegal, i_r[0], 1), jnp.where(rlegal, i_r[1], 0),
+          jnp.where(rlegal, i_r[2], 0), jnp.where(rlegal, i_r[3], 0),
+          jnp.where(rlegal, i_r[4], m2.p1),
+          jnp.where(rlegal, i_r[5], 0))
+    return fw, rc
+
+
 # all-MEMs phases (query_all_mems, mem_finder.cpp:105-145)
 AM2_RIGHT, AM2_LEFT, AM2_RES, AM2_DONE = 0, 1, 2, 3
 
@@ -672,24 +709,7 @@ def _all_mem2_scan(m2: FusedMem2Index, alphas: jax.Array, ticks: int,
         return _char_select(alphas, lane_iota, p)
 
     def init_pair6(c0):
-        """init_bidirectional at a char: fw from c0 (canonical empty
-        when illegal), rc from its complement (unknown-but-'#'
-        complements to 'A', utils.cpp:87-91); both with abs."""
-        i_f = _init6(m2, c0)
-        legal = c0 >= 0
-        fw = (jnp.where(legal, i_f[0], 1), jnp.where(legal, i_f[1], 0),
-              jnp.where(legal, i_f[2], 0), jnp.where(legal, i_f[3], 0),
-              jnp.where(legal, i_f[4], m2.p1),
-              jnp.where(legal, i_f[5], 0))
-        c0r = jnp.where(legal, sigma - 1 - c0,
-                        jnp.where(c0 == -1, 0, -1))
-        i_r = _init6(m2, c0r)
-        rlegal = c0r >= 0
-        rc = (jnp.where(rlegal, i_r[0], 1), jnp.where(rlegal, i_r[1], 0),
-              jnp.where(rlegal, i_r[2], 0), jnp.where(rlegal, i_r[3], 0),
-              jnp.where(rlegal, i_r[4], m2.p1),
-              jnp.where(rlegal, i_r[5], 0))
-        return fw, rc
+        return _init_pair6(m2, c0)
 
     def tick(state, _):
         phase = state["phase"]
@@ -768,9 +788,12 @@ def _all_mem2_scan(m2: FusedMem2Index, alphas: jax.Array, ticks: int,
         rae2 = jnp.where(left_ok, ras2 + (nae - nas), rae2)
         ml2 = jnp.where(right_ok | left_ok, ml + 1, ml)
 
-        # RIGHT termination: emit (s, s+ml, count(fw)) at index s
+        # RIGHT termination: emit (s, s+ml, count(fw)) at index s;
+        # count clamps to 0 when the fw side is still the canonical
+        # empty interval (its abs form has fas > fae), matching the
+        # oracle's interval_count-of-EMPTY == 0
         right_stop = in_right & ~ok
-        mem_cnt = fae - fas + 1
+        mem_cnt = jnp.maximum(fae - fas + 1, 0)
         ends = _emit_add(state["ends"], lane_iota, s,
                          jnp.where(right_stop, s + ml, 0))
         counts = _emit_add(state["counts"], lane_iota, s,
@@ -843,33 +866,21 @@ class FusedAllMem2Engine:
 
         def make_state():
             z = jnp.zeros((lanes,), jnp.int32)
-            c0 = al[:, 0]
-            sigma = m2.sigma
-            i_f = _init6(m2, c0)
-            legal = c0 >= 0
-            c0r = jnp.where(legal, sigma - 1 - c0,
-                            jnp.where(c0 == -1, 0, -1))
-            i_r = _init6(m2, c0r)
-            rlegal = c0r >= 0
-            return dict(
+            fw, rc = _init_pair6(m2, al[:, 0])
+            st = dict(
                 phase=jnp.where(lengths > 0, AM2_RIGHT, AM2_DONE
                                 ).astype(jnp.int32),
                 s=z, ml=jnp.ones((lanes,), jnp.int32), e=z,
-                frs=jnp.where(legal, i_f[0], 1).astype(jnp.int32),
-                fos=jnp.where(legal, i_f[1], 0).astype(jnp.int32),
-                fre=jnp.where(legal, i_f[2], 0).astype(jnp.int32),
-                foe=jnp.where(legal, i_f[3], 0).astype(jnp.int32),
-                fas=jnp.where(legal, i_f[4], m2.p1).astype(jnp.int32),
-                fae=jnp.where(legal, i_f[5], 0).astype(jnp.int32),
-                rrs=jnp.where(rlegal, i_r[0], 1).astype(jnp.int32),
-                ros=jnp.where(rlegal, i_r[1], 0).astype(jnp.int32),
-                rre=jnp.where(rlegal, i_r[2], 0).astype(jnp.int32),
-                roe=jnp.where(rlegal, i_r[3], 0).astype(jnp.int32),
-                ras=jnp.where(rlegal, i_r[4], m2.p1).astype(jnp.int32),
-                rae=jnp.where(rlegal, i_r[5], 0).astype(jnp.int32),
                 ends=jnp.zeros((lanes, W), jnp.int32),
                 counts=jnp.zeros((lanes, W), jnp.int32),
             )
+            for i, kk in enumerate(("frs", "fos", "fre", "foe", "fas",
+                                    "fae")):
+                st[kk] = fw[i].astype(jnp.int32)
+            for i, kk in enumerate(("rrs", "ros", "rre", "roe", "ras",
+                                    "rae")):
+                st[kk] = rc[i].astype(jnp.int32)
+            return st
 
         state = jax.jit(make_state)()
         ticks = 4 * W + 64

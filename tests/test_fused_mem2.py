@@ -182,3 +182,26 @@ def test_all_mem2_matches_oracle(setup):
             want = adv.query_all_mems(seq)
             assert got2[i] == want, name
             assert got1[i] == want, name
+
+
+def test_all_mem2_empty_fw_count_first_run_gt1():
+    """Regression: the empty-fw emission count must be 0 (oracle
+    interval_count of EMPTY), not 1 - all_p[1] -- visible only on
+    indexes whose first BWT run is longer than one row."""
+    rng = np.random.default_rng(13)
+    bases = np.frombuffer(b"ACGT", np.uint8)
+    fw = rng.choice(bases, size=50)
+    rc = np.array([COMP[b] for b in fw[::-1]], dtype=np.uint8)
+    ix = build_move_index(build_bwt_runs(np.concatenate([fw, rc])),
+                          "regular-thresholds", bound_ff=1)
+    assert int(ix.n_arr[0]) > 1, "fixture must have a long first run"
+    from movi_tpu.engine.fused_mem2 import FusedAllMem2Engine
+
+    adv = AdvancedEngine(ix)
+    eng = FusedAllMem2Engine(build_fused_mem2_index(ix))
+    reads = [("n", b"N"), ("nn", b"NN"), ("mix", b"N" + fw[:9].tobytes()),
+             ("tail", fw[5:20].tobytes() + b"N")]
+    b = next(make_batches(reads, lanes=len(reads)))
+    got = eng.query_batch(b)
+    for i, (name, seq) in enumerate(reads):
+        assert got[i] == adv.query_all_mems(seq), name

@@ -146,3 +146,31 @@ def test_engine_capacity_selection(monkeypatch):
     assert not select.use_paired_color(80_000, 4, 100)
     monkeypatch.setenv("MOVI_TPU_HBM_BYTES", str(1 << 30))
     assert not select.use_paired_pml(5_000_000, 4)
+
+
+def test_api_mems_large_n_fallback(tmp_path, monkeypatch):
+    """Past MEM2_MAX_N the API must route MEMs through the v1 engines
+    (optional pos2rba) with identical results."""
+    import movi_tpu.engine.fused_mem2 as fm2
+
+    rng = np.random.default_rng(91)
+    bases = np.frombuffer(b"ACGT", dtype=np.uint8)
+    fw = rng.choice(bases, size=1200)
+    comp = np.zeros(256, np.uint8)
+    for a, b2 in zip(b"ACGT", b"TGCA"):
+        comp[a] = b2
+    ref = str(tmp_path / "r.fa")
+    with open(ref, "w") as f:
+        f.write(f">d\n{fw.tobytes().decode()}\n")
+    index = movi_tpu.build_index(ref)
+    reads = []
+    for i in range(6):
+        L = int(rng.integers(30, 80))
+        s = int(rng.integers(0, len(fw) - L))
+        reads.append((f"r{i}", fw[s : s + L].tobytes()))
+    want0 = index.query_mems(reads, min_mem_length=0, jax=False)
+    want12 = index.query_mems(reads, min_mem_length=12, jax=False)
+    monkeypatch.setattr(fm2, "MEM2_MAX_N", 10)  # force the v1 fallback
+    index2 = movi_tpu.Index(index.ix)
+    assert index2.query_mems(reads, min_mem_length=0) == want0
+    assert index2.query_mems(reads, min_mem_length=12) == want12

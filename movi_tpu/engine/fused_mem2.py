@@ -647,7 +647,15 @@ class FusedMem2Engine:
                        self.m2.ftab_k if use_ftab else 0, use_ftab)
         state = make_mem2_state(
             lanes, W, jnp.asarray(batch.lengths.astype(np.int32)), self.L)
-        ticks = 4 * W + 64
+        import os as _os
+
+        # quantum size: typical BML lanes converge in ~2.5 W ticks with
+        # the ftab anchor; a 4 W quantum wasted ~45% of its ticks past
+        # convergence (measured: 1.39 -> 2.25 Mb/s at 2 W + 84).  The
+        # compaction-resume loop still guarantees completion for
+        # straggler-heavy batches.
+        ticks = (int(_os.environ.get("MOVI_TPU_TICK_QUANTUM", 0))
+                 or 2 * W + 84)
         ends, counts = _resume_compacted(
             lambda a, st: _mem2_scan(self.m2, a, st, self.L, ticks,
                                      use_ftab),
